@@ -1,0 +1,134 @@
+"""DenseNet-BC regression backbone (EMLight stage 1) in Flax.
+
+Architecture parity with RegressionNetwork/DenseNet.py:68-157: growth 12,
+blocks (16,16,16), compression 0.5, 24 init features, bn_size 4, a transition
++ trailing BatchNorm after EVERY block (the reference's `if i != len(...)` at
+DenseNet.py:110 is always true), global 4x4 avg-pool, fc 8208->1024, and four
+linear heads (activations removed per the reference's Jan-2022 update,
+README.md:31 / DenseNet.py:141-151).
+
+Layout is NHWC (TPU-native). Module names mirror the torch state_dict keys so
+checkpoint import (train/torch_import.py) is a mechanical mapping.
+
+Notable reference quirk kept for parity: _DenseLayer has no ReLU between its
+norm2 and conv2 (DenseNet.py:30-46 orders norm1,relu1,conv1,norm2,conv2).
+
+BatchNorm takes an optional `axis_name`, turning every norm into a
+cross-replica (pmean) batch norm under shard_map/pjit — the TPU-native
+replacement for the vendored sync_batchnorm package (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ["DenseNet", "RegressionOutput"]
+
+
+class _DenseLayer(nn.Module):
+    growth_rate: int
+    bn_size: int
+    drop_rate: float = 0.0
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name,
+            name=name,
+        )
+        h = bn("norm1")(x)
+        h = nn.relu(h)
+        if self.bn_size > 0:
+            h = nn.Conv(4 * self.growth_rate, (1, 1), use_bias=False, name="conv1")(h)
+            h = bn("norm2")(h)
+            h = nn.Conv(
+                self.growth_rate, (3, 3), padding=1, use_bias=False, name="conv2"
+            )(h)
+        else:
+            h = nn.Conv(
+                self.growth_rate, (3, 3), padding=1, use_bias=False, name="conv2"
+            )(h)
+        if self.drop_rate > 0:
+            h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
+        return jnp.concatenate([x, h], axis=-1)
+
+
+class _Transition(nn.Module):
+    num_output_features: int
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            axis_name=self.axis_name, name="norm",
+        )(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.num_output_features, (1, 1), use_bias=False, name="conv")(x)
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+RegressionOutput = dict  # {distribution, intensity, rgb_ratio, ambient}
+
+
+class DenseNet(nn.Module):
+    """crop (B, H, W, 3) -> anchor light parameters.
+
+    Default input 192x256 (4:3 crop) gives the reference's 8208-dim pooled
+    feature vector (171 channels x 6 x 8 after the 4x4 avg pool).
+    """
+
+    growth_rate: int = 12
+    block_config: Sequence[int] = (16, 16, 16)
+    compression: float = 0.5
+    num_init_features: int = 24
+    bn_size: int = 4
+    drop_rate: float = 0.0
+    avgpool_size: int = 4
+    n_anchors: int = 96  # fc_dist head width (DenseNet.py:126; see SURVEY §2.6)
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> RegressionOutput:
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            axis_name=self.axis_name, name=name,
+        )
+        x = nn.Conv(self.num_init_features, (3, 3), padding=1, use_bias=False, name="conv0")(x)
+        x = bn("norm0")(x)
+        x = nn.relu(x)
+
+        num_features = self.num_init_features
+        for i, num_layers in enumerate(self.block_config):
+            for j in range(num_layers):
+                x = _DenseLayer(
+                    self.growth_rate, self.bn_size, self.drop_rate,
+                    axis_name=self.axis_name,
+                    name=f"denseblock{i + 1}_denselayer{j + 1}",
+                )(x, train)
+            num_features += num_layers * self.growth_rate
+            num_features = int(math.floor(num_features * self.compression))
+            x = _Transition(num_features, axis_name=self.axis_name, name=f"transition{i + 1}")(x, train)
+            x = bn(f"last_norm{i + 1}")(x)
+
+        x = nn.relu(x)
+        k = self.avgpool_size
+        x = nn.avg_pool(x, (k, k), strides=(k, k))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(1024, name="fc")(x)
+
+        return {
+            "distribution": nn.Dense(self.n_anchors, name="fc_dist")(x),
+            "intensity": nn.Dense(1, name="fc_intensity")(x),
+            "rgb_ratio": nn.Dense(3, name="fc_rgb_ratio")(x),
+            "ambient": nn.Dense(3, name="fc_ambient")(x),
+        }

@@ -1,0 +1,141 @@
+"""Jitted training/eval for the DenseNet anchor regressor (EMLight stage 1).
+
+Replaces the module-level script loop of RegressionNetwork/train.py:73-167
+with a functional, jit-compiled train step: Adam(1e-4), loss =
+1000·Sinkhorn(dist) + 1000·L2(dist) + 0.1·L2(intensity) + 100·L2(rgb) +
+1·L2(ambient) (train.py:92-98). Batch-stat updates ride the same step
+(mutable batch_stats collection); under a device mesh the step is shard_map'd
+by dist/ with BN stats pmean'd across replicas.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import RegressionConfig
+from ..losses.sinkhorn import SamplesLoss
+from ..nn.densenet import DenseNet
+
+__all__ = ["RegressionState", "create_state", "train_step", "eval_step", "loss_fn"]
+
+
+class RegressionState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    apply_fn: Any = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def make_model(cfg: RegressionConfig, axis_name: str | None = None) -> DenseNet:
+    return DenseNet(
+        n_anchors=cfg.anchors.regression_anchors,
+        block_config=cfg.block_config,
+        growth_rate=cfg.growth_rate,
+        num_init_features=cfg.num_init_features,
+        axis_name=axis_name,
+    )
+
+
+def create_state(rng: jax.Array, cfg: RegressionConfig, axis_name: str | None = None) -> RegressionState:
+    model = make_model(cfg, axis_name)
+    dummy = jnp.zeros((1, cfg.crop_h, cfg.crop_w, 3), dtype=jnp.float32)
+    # jit the init: eager per-op dispatch is pathologically slow on tunneled
+    # devices, and init is hundreds of tiny ops
+    variables = jax.jit(functools.partial(model.init, train=True))(rng, dummy)
+    tx = optax.adam(cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1])
+    return RegressionState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def _make_sinkhorn(cfg: RegressionConfig) -> SamplesLoss:
+    s = cfg.sinkhorn
+    return SamplesLoss(
+        "sinkhorn",
+        p=s.p,
+        blur=s.blur,
+        scaling=s.scaling,
+        diameter=s.diameter,
+        n_iters=s.n_iters,
+        n_anchors=cfg.anchors.regression_anchors,
+        backend=s.backend,
+    )
+
+
+def loss_fn(params, batch_stats, apply_fn, batch, cfg: RegressionConfig, train: bool):
+    """Forward + composite loss. batch: crop (B,H,W,3), distribution (B,N),
+    intensity (B,), rgb_ratio (B,3), ambient (B,3)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        pred, mutated = apply_fn(variables, batch["crop"], train=True, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        pred = apply_fn(variables, batch["crop"], train=False)
+        new_stats = batch_stats
+
+    emd = _make_sinkhorn(cfg)
+    dist_pred = pred["distribution"]
+    dist_gt = batch["distribution"]
+    mse = lambda a, b: jnp.mean((a - b) ** 2)
+
+    dist_emloss = emd(dist_pred[..., None], dist_gt[..., None]).sum() * cfg.w_emd
+    dist_l2loss = mse(dist_pred, dist_gt) * cfg.w_dist_l2
+    intensity_loss = mse(pred["intensity"][:, 0], batch["intensity"]) * cfg.w_intensity
+    rgb_loss = mse(pred["rgb_ratio"], batch["rgb_ratio"]) * cfg.w_rgb
+    ambient_loss = mse(pred["ambient"], batch["ambient"]) * cfg.w_ambient
+    total = dist_emloss + dist_l2loss + intensity_loss + rgb_loss + ambient_loss
+
+    metrics = {
+        "loss": total,
+        "dist_emloss": dist_emloss,
+        "dist_l2loss": dist_l2loss,
+        "intensity_loss": intensity_loss,
+        "rgb_loss": rgb_loss,
+        "ambient_loss": ambient_loss,
+    }
+    return total, (metrics, new_stats, pred)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def train_step(state: RegressionState, batch, cfg: RegressionConfig):
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, (metrics, new_stats, _)), grads = grad_fn(
+        state.params, state.batch_stats, state.apply_fn, batch, cfg, True
+    )
+    return state.apply_gradients(grads, new_stats), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def eval_step(state: RegressionState, batch, cfg: RegressionConfig):
+    _, (metrics, _, pred) = loss_fn(
+        state.params, state.batch_stats, state.apply_fn, batch, cfg, False
+    )
+    return metrics, pred
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def predict(apply_fn, params, batch_stats, crop):
+    """Inference: crop -> anchor parameter dict (RegressionNetwork/test.py path)."""
+    return apply_fn({"params": params, "batch_stats": batch_stats}, crop, train=False)

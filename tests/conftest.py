@@ -2,10 +2,47 @@
 
 Multi-device sharding tests need jax to see 8 devices without real chips
 (SURVEY.md §4 point (4)); env vars must be set before jax is first imported.
+
+This image injects an `axon` sitecustomize (PYTHONPATH=/root/.axon_site) that
+routes every XLA compilation through a remote service — a ~5x wall-time
+penalty that applies even to CPU compiles. Tests don't need the TPU tunnel,
+so if the axon hook is present we re-exec pytest once with a sanitized
+environment (local CPU compilation only).
 """
 
 import os
 import sys
+
+def _restore_stdio_from_parent() -> None:
+    """Point fd 1/2 back at the invoking shell's stdout/stderr.
+
+    pytest's capture plugin has already dup2'd a temp file onto fd 1/2 by the
+    time conftest loads; after execve those temp files die with the old
+    process and all output vanishes. The parent (shell) still holds the real
+    targets, so rewire from /proc/<ppid>/fd before exec'ing.
+    """
+    for fd in (1, 2):
+        try:
+            os.dup2(
+                os.open(f"/proc/{os.getppid()}/fd/{fd}", os.O_WRONLY | os.O_APPEND), fd
+            )
+        except OSError:
+            pass
+
+
+if (
+    ".axon_site" in os.environ.get("PYTHONPATH", "")
+    and os.environ.get("EMLIGHT_TEST_REEXEC") != "1"
+):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["EMLIGHT_TEST_REEXEC"] = "1"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    _restore_stdio_from_parent()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

@@ -1,0 +1,103 @@
+"""End-to-end regression slice: model shapes, jitted train step, overfit
+signal, checkpoint roundtrip."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emlight_tpu.config import RegressionConfig, SinkhornConfig
+from emlight_tpu.nn.densenet import DenseNet
+from emlight_tpu.train import checkpoint as ckpt
+from emlight_tpu.train import regression as R
+from emlight_tpu.train.data import synthetic_regression_batch
+
+# small crops keep CPU runtime sane; Dense layers infer the flattened dim
+SMALL = dataclasses.replace(
+    RegressionConfig(),
+    crop_h=64,
+    crop_w=64,
+    batch_size=2,
+    block_config=(2, 2),
+    sinkhorn=SinkhornConfig(n_iters=6),
+)
+
+
+def _batch(cfg, seed=0):
+    b = synthetic_regression_batch(
+        cfg.batch_size, cfg.anchors.regression_anchors, (cfg.crop_h, cfg.crop_w), seed
+    )
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+def test_densenet_output_shapes_and_param_count():
+    model = DenseNet(n_anchors=96)
+    x = jnp.zeros((1, 192, 256, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["distribution"].shape == (1, 96)
+    assert out["intensity"].shape == (1, 1)
+    assert out["rgb_ratio"].shape == (1, 3)
+    assert out["ambient"].shape == (1, 3)
+    # fc input must be the reference's 8208 (171 ch x 6 x 8) at 192x256
+    assert variables["params"]["fc"]["kernel"].shape == (8208, 1024)
+    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    # reference prints ~9.x M params; dense blocks dominate — sanity window
+    assert 5e6 < n_params < 15e6
+
+
+def test_train_step_decreases_loss():
+    state = R.create_state(jax.random.PRNGKey(0), SMALL)
+    batch = _batch(SMALL)
+    _, m0 = R.train_step(state, batch, SMALL)
+    s = state
+    for _ in range(8):
+        s, m = R.train_step(s, batch, SMALL)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert int(s.step) == 8
+    for v in m.values():
+        assert np.isfinite(float(v))
+
+
+def test_eval_step_and_predict():
+    state = R.create_state(jax.random.PRNGKey(1), SMALL)
+    batch = _batch(SMALL, seed=3)
+    metrics, pred = R.eval_step(state, batch, SMALL)
+    assert pred["distribution"].shape == (SMALL.batch_size, 96)
+    out = R.predict(state.apply_fn, state.params, state.batch_stats, batch["crop"])
+    np.testing.assert_allclose(
+        np.asarray(out["distribution"]), np.asarray(pred["distribution"]), atol=1e-6
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = R.create_state(jax.random.PRNGKey(2), SMALL)
+    batch = _batch(SMALL, seed=4)
+    state, _ = R.train_step(state, batch, SMALL)
+    path = ckpt.save_checkpoint(str(tmp_path), state, name="latest")
+    template = R.create_state(jax.random.PRNGKey(3), SMALL)
+    restored = ckpt.restore_checkpoint(path, template)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed training continues bit-identically
+    s1, m1 = R.train_step(state, batch, SMALL)
+    s2, m2 = R.train_step(restored, batch, SMALL)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_batch_stats_update_only_in_train_mode():
+    state = R.create_state(jax.random.PRNGKey(4), SMALL)
+    batch = _batch(SMALL, seed=5)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), state.batch_stats)
+    R.eval_step(state, batch, SMALL)
+    after_eval = state.batch_stats
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after_eval)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    new_state, _ = R.train_step(state, batch, SMALL)
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(new_state.batch_stats))
+    )
+    assert changed

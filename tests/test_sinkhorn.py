@@ -35,7 +35,8 @@ def torch_oracle(x_np, y_np, M_np, blur=0.025, scaling=0.5, p=2.0, want_grad=Fal
         return (0.1 * (u[:, :, None] - v[:, None, :]) ** 2 + M) / 2
 
     Cxx, Cyy, Cxy, Cyx = cost(x, x), cost(y, y), cost(x, y), cost(y, x)
-    d = float(torch.max(x.max(), y.max()) - torch.min(x.min(), y.min()))
+    with torch.no_grad():
+        d = float(torch.max(x.max(), y.max()) - torch.min(x.min(), y.min()))
     eps_s = (
         [d**p]
         + [math.exp(e) for e in np.arange(p * math.log(d), p * math.log(blur), p * math.log(scaling))]

@@ -1,0 +1,79 @@
+"""GAN objectives for the GenProjector stage.
+
+Parity with GenProjector/models/networks/loss.py:16-120 and
+models/pix2pix_model.py:92-141:
+- hinge / ls / original / wgan GAN losses over multiscale outputs
+- light-mask-weighted multiscale feature matching (non-light pixels x50,
+  pix2pix_model.py:111-116), with the mask re-interpolated sequentially from
+  the previous scale exactly as the reference's loop mutates `map`
+- per-pixel cosine-similarity loss (pix2pix_model.py:95,122)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import resize_nearest
+
+__all__ = ["gan_loss", "feature_matching_loss", "cosine_loss"]
+
+
+def _single_gan_loss(x, target_is_real: bool, for_discriminator: bool, mode: str):
+    if mode == "hinge":
+        if for_discriminator:
+            if target_is_real:
+                return -jnp.mean(jnp.minimum(x - 1, 0.0))
+            return -jnp.mean(jnp.minimum(-x - 1, 0.0))
+        assert target_is_real, "generator hinge loss aims for real"
+        return -jnp.mean(x)
+    if mode == "ls":
+        t = 1.0 if target_is_real else 0.0
+        return jnp.mean((x - t) ** 2)
+    if mode == "original":
+        t = 1.0 if target_is_real else 0.0
+        return jnp.mean(
+            jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+        )  # BCE-with-logits
+    if mode == "w":
+        return -jnp.mean(x) if target_is_real else jnp.mean(x)
+    raise ValueError(f"unknown gan mode {mode}")
+
+
+def gan_loss(pred, target_is_real: bool, for_discriminator: bool, mode: str = "hinge"):
+    """pred: list (per discriminator) of lists of activations; the last entry
+    of each inner list is the logit map (loss.py:84-98)."""
+    total = 0.0
+    for per_d in pred:
+        logits = per_d[-1] if isinstance(per_d, (list, tuple)) else per_d
+        total = total + _single_gan_loss(logits, target_is_real, for_discriminator, mode)
+    return total / len(pred)
+
+
+def feature_matching_loss(pred_fake, pred_real, light_map, ambient_weight: float = 50.0):
+    """L1 between mask-weighted intermediate D features (pix2pix_model.py:101-117).
+
+    light_map: (B, H, W, 1) binary light mask; non-light pixels weighted
+    ambient_weight x. The mask is resized sequentially scale-to-scale, matching
+    the reference's in-place `map = F.interpolate(map, ...)` loop.
+    """
+    num_d = len(pred_fake)
+    total = 0.0
+    m = light_map
+    for i in range(num_d):
+        for j in range(len(pred_fake[i]) - 1):  # exclude the logit map
+            f, r = pred_fake[i][j], pred_real[i][j]
+            m = resize_nearest(m, f.shape[1:3])
+            wf = f * m + f * (1 - m) * ambient_weight
+            wr = r * m + r * (1 - m) * ambient_weight
+            total = total + jnp.mean(jnp.abs(wf - jax.lax.stop_gradient(wr))) / num_d
+    return total
+
+
+def cosine_loss(fake, real, eps: float = 1e-20):
+    """(1 - cosine_similarity over channels).mean() (pix2pix_model.py:95,122)."""
+    num = (fake * real).sum(-1)
+    den = jnp.maximum(
+        jnp.linalg.norm(fake, axis=-1) * jnp.linalg.norm(real, axis=-1), eps
+    )
+    return jnp.mean(1.0 - num / den)

@@ -130,19 +130,30 @@ def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     """Functional sphere conv: 9 accumulated gather->matmul steps (MXU).
 
     kernel: (3, 3, Cin, Cout) HWIO. Output (B, Ho, Wo, Cout).
+
+    The tap loop is a lax.scan (not a Python unroll): the SPADE stack holds
+    ~40 sphere convs, and 36 unrolled gathers per conv makes the HLO huge and
+    compile times painful; the scan body is one weighted 4-tap gather plus one
+    (B*P, Cin) x (Cin, Cout) matmul.
     """
     b, h, w, cin = x.shape
     idx, wgt, (ho, wo) = sphere_taps(h, w, stride)
     xf = x.reshape(b, h * w, cin)
     kflat = kernel.reshape(9, cin, -1)
-    out = None
-    for t in range(9):
-        acc = 0.0
+    idx_t = jnp.asarray(idx.transpose(1, 0, 2))  # (9, P, 4)
+    wgt_t = jnp.asarray(wgt.transpose(1, 0, 2))
+
+    def body(acc, tap):
+        t_idx, t_wgt, t_k = tap
+        s = 0.0
         for k in range(4):
-            g = jnp.take(xf, jnp.asarray(idx[:, t, k]), axis=1)
-            acc = acc + g * jnp.asarray(wgt[:, t, k])[None, :, None]
-        part = jnp.einsum("bpc,cd->bpd", acc, kflat[t], preferred_element_type=jnp.float32)
-        out = part if out is None else out + part
+            g = jnp.take(xf, t_idx[:, k], axis=1)  # (B, P, Cin)
+            s = s + g * t_wgt[:, k][None, :, None]
+        part = jnp.einsum("bpc,cd->bpd", s, t_k, preferred_element_type=jnp.float32)
+        return acc + part, None
+
+    out0 = jnp.zeros((b, ho * wo, kflat.shape[-1]), jnp.float32)
+    out, _ = jax.lax.scan(body, out0, (idx_t, wgt_t, kflat))
     if bias is not None:
         out = out + bias
     return out.reshape(b, ho, wo, -1)

@@ -1,0 +1,211 @@
+"""Adversarial training for the SPADE GenProjector (EMLight stage 2).
+
+Functional, jitted replacement for GenProjector/{train.py,model_trainer.py,
+models/pix2pix_model.py}:
+- TTUR Adam pair (G lr/2, D lr*2, betas (0, 0.9)) — pix2pix_model.py:56-70
+- generator step: hinge GAN + mask-weighted feature matching + VGG x5 +
+  cosine x5 (pix2pix_model.py:92-127)
+- discriminator step: hinge real/fake on a detached fake
+  (pix2pix_model.py:129-141); fake+real run through D as ONE batch
+  (pix2pix_model.py:147-161)
+- the anchor-GT guide env map is rasterized ON DEVICE inside the step
+  (render_anchor_params), not in the data loader (GenProjector/data.py:86-102
+  does it in __getitem__ with .cuda(), forcing nThreads=0)
+
+Torch-faithful state dynamics: every forward in training mode updates
+spectral-norm u vectors and G's BN batch_stats — including G's forward inside
+the discriminator step and D's forward inside the generator step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ProjectorConfig
+from ..losses.gan import cosine_loss, feature_matching_loss, gan_loss
+from ..nn.discriminator import MultiscaleDiscriminator
+from ..nn.spade import SPADEGenerator
+from ..nn.vgg import VGG_SLICE_WEIGHTS, VGG19Features
+from ..representation.splat import render_anchor_params
+
+__all__ = ["ProjectorState", "create_state", "generator_step", "discriminator_step",
+           "inference", "make_guide"]
+
+
+class ProjectorState(flax.struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any
+    g_stats: Any          # batch_stats + spectral for G
+    d_params: Any
+    d_stats: Any          # spectral for D
+    g_opt: Any
+    d_opt: Any
+    tx_g: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    tx_d: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    g_apply: Any = flax.struct.field(pytree_node=False)
+    d_apply: Any = flax.struct.field(pytree_node=False)
+
+
+def make_models(cfg: ProjectorConfig, axis_name: str | None = None):
+    g = SPADEGenerator(
+        ngf=cfg.ngf,
+        norm_type="syncbatch" if "syncbatch" in cfg.norm_g else "instance",
+        num_upsampling_layers=cfg.num_upsampling_layers,
+        crop_size=cfg.crop_size,
+        aspect_ratio=2.0,
+        axis_name=axis_name,
+    )
+    d = MultiscaleDiscriminator(ndf=cfg.ndf, num_d=cfg.num_d, n_layers=cfg.n_layers_d)
+    return g, d
+
+
+def _env_hw(cfg: ProjectorConfig):
+    # latent (sh, sw) = (crop_size/2^n / aspect, crop_size/2^n) upsampled n
+    # times -> output is always (crop_size/2, crop_size) (generator.py:49-88)
+    return cfg.crop_size // 2, cfg.crop_size
+
+
+def create_state(rng: jax.Array, cfg: ProjectorConfig, axis_name: str | None = None) -> ProjectorState:
+    g, d = make_models(cfg, axis_name)
+    env_h, env_w = _env_hw(cfg)
+    guide = jnp.zeros((1, env_h, env_w, 3))
+    crop = jnp.zeros((1, cfg.crop_size // 2, cfg.crop_size // 2, 3))
+    kg, kd = jax.random.split(rng)
+    gv = jax.jit(functools.partial(g.init, train=True))(kg, guide, crop)
+    dv = jax.jit(functools.partial(d.init, train=True))(
+        kd, jnp.zeros((2, env_h, env_w, cfg.semantic_nc + cfg.output_nc))
+    )
+    tx_g = optax.adam(cfg.lr / 2, b1=cfg.beta1, b2=cfg.beta2)
+    tx_d = optax.adam(cfg.lr * 2, b1=cfg.beta1, b2=cfg.beta2)
+    g_stats = {k: gv[k] for k in gv if k != "params"}
+    d_stats = {k: dv[k] for k in dv if k != "params"}
+    return ProjectorState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=gv["params"],
+        g_stats=g_stats,
+        d_params=dv["params"],
+        d_stats=d_stats,
+        g_opt=tx_g.init(gv["params"]),
+        d_opt=tx_d.init(dv["params"]),
+        tx_g=tx_g,
+        tx_d=tx_d,
+        g_apply=g.apply,
+        d_apply=d.apply,
+    )
+
+
+def make_guide(batch, cfg: ProjectorConfig):
+    """Rasterize the anchor-GT environment map (GenProjector/data.py:86-102):
+    env = (splat(dist * intensity * rgb) + ambient) * alpha."""
+    env_h, env_w = _env_hw(cfg)
+    env = render_anchor_params(
+        batch["distribution"], batch["intensity"], batch["rgb_ratio"],
+        batch["ambient"], n=batch["distribution"].shape[-1],
+        h=env_h, w=env_w, size=cfg.anchors.splat_size,
+    )
+    return env * batch["alpha"][:, None, None, None]
+
+
+def _run_g(state, g_params, guide, crop, train):
+    variables = {"params": g_params, **state.g_stats}
+    out, mut = state.g_apply(
+        variables, guide, crop, train=train, mutable=["batch_stats", "spectral"]
+    )
+    return out, mut
+
+
+def _run_d(state, d_params, guide, fake, real, train):
+    # fake and real concatenated through D in one batch (pix2pix_model.py:147-161)
+    x = jnp.concatenate(
+        [jnp.concatenate([guide, fake], -1), jnp.concatenate([guide, real], -1)], 0
+    )
+    variables = {"params": d_params, **state.d_stats}
+    out, mut = state.d_apply(variables, x, train=train, mutable=["spectral"])
+    split = lambda t: (t[: t.shape[0] // 2], t[t.shape[0] // 2 :])
+    pred_fake = [[split(t)[0] for t in per_d] for per_d in out]
+    pred_real = [[split(t)[1] for t in per_d] for per_d in out]
+    return pred_fake, pred_real, mut
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "vgg_apply"))
+def generator_step(state: ProjectorState, batch, cfg: ProjectorConfig,
+                   vgg_apply=None, vgg_variables=None):
+    guide = make_guide(batch, cfg)
+    crop, real = batch["crop"], batch["warped"]
+    light_map = batch["map"][..., None]
+
+    def loss_fn(g_params):
+        fake, g_mut = _run_g(state, g_params, guide, crop, True)
+        pred_fake, pred_real, d_mut = _run_d(state, state.d_params, guide, fake, real, True)
+        losses = {
+            "GAN": gan_loss(pred_fake, True, for_discriminator=False, mode=cfg.gan_mode),
+            "GAN_Feat": feature_matching_loss(
+                pred_fake, pred_real, light_map, cfg.ambient_feat_weight
+            ),
+            "COS": cosine_loss(fake, real) * cfg.lambda_cos,
+        }
+        if vgg_apply is not None:
+            ff = vgg_apply(vgg_variables, fake)
+            fr = vgg_apply(vgg_variables, real)
+            vgg = sum(
+                w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+                for w, a, b in zip(VGG_SLICE_WEIGHTS, ff, fr)
+            )
+            losses["VGG"] = vgg * cfg.lambda_vgg
+        total = sum(losses.values())
+        return total, (losses, g_mut, d_mut, fake)
+
+    (total, (losses, g_mut, d_mut, fake)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.g_params)
+    updates, g_opt = state.tx_g.update(grads, state.g_opt, state.g_params)
+    state = state.replace(
+        g_params=optax.apply_updates(state.g_params, updates),
+        g_opt=g_opt,
+        g_stats=g_mut,
+        d_stats=d_mut,
+        step=state.step + 1,
+    )
+    return state, {**losses, "loss_G": total}, fake
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def discriminator_step(state: ProjectorState, batch, cfg: ProjectorConfig):
+    guide = make_guide(batch, cfg)
+    crop, real = batch["crop"], batch["warped"]
+    # generate_fake runs in train mode (updates G stats) but detached
+    # (pix2pix_model.py:129-134)
+    fake, g_mut = _run_g(state, state.g_params, guide, crop, True)
+    fake = jax.lax.stop_gradient(fake)
+
+    def loss_fn(d_params):
+        pred_fake, pred_real, d_mut = _run_d(state, d_params, guide, fake, real, True)
+        d_fake = gan_loss(pred_fake, False, for_discriminator=True, mode=cfg.gan_mode)
+        d_real = gan_loss(pred_real, True, for_discriminator=True, mode=cfg.gan_mode)
+        return d_fake + d_real, (d_fake, d_real, d_mut)
+
+    (total, (d_fake, d_real, d_mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.d_params
+    )
+    updates, d_opt = state.tx_d.update(grads, state.d_opt, state.d_params)
+    state = state.replace(
+        d_params=optax.apply_updates(state.d_params, updates),
+        d_opt=d_opt,
+        g_stats=g_mut,
+        d_stats=d_mut,
+    )
+    return state, {"D_Fake": d_fake, "D_real": d_real, "loss_D": total}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def inference(state: ProjectorState, batch, cfg: ProjectorConfig):
+    """Eval-mode generation (pix2pix_model.py:49-52)."""
+    guide = make_guide(batch, cfg)
+    variables = {"params": state.g_params, **state.g_stats}
+    return state.g_apply(variables, guide, batch["crop"], train=False)

@@ -1,0 +1,98 @@
+"""GAN slice: generator/discriminator shapes, alternating jitted steps,
+mask-weighted losses, spectral-norm state dynamics.
+
+One module-scoped state is shared across tests: every create_state compiles
+two model inits, and the SPADE stack is the most compile-heavy graph in the
+suite.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emlight_tpu.config import AnchorConfig, ProjectorConfig
+from emlight_tpu.train import projector as P
+from emlight_tpu.train.data import synthetic_projector_batch
+
+TINY = dataclasses.replace(
+    ProjectorConfig(),
+    crop_size=64,  # -> env maps 32x64, latent (1, 2)
+    ngf=8,
+    ndf=8,
+    batch_size=2,
+    anchors=AnchorConfig(n_anchors=16, env_h=32, env_w=64),
+    use_vgg_loss=False,
+)
+
+
+@pytest.fixture(scope="module")
+def state0():
+    return P.create_state(jax.random.PRNGKey(0), TINY)
+
+
+def _batch(seed=0):
+    b = synthetic_projector_batch(
+        TINY.batch_size, n_anchors=16, crop_size=TINY.crop_size // 2,
+        env_hw=(32, 64), seed=seed,
+    )
+    return {k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, list)}
+
+
+def test_generator_output_shape_and_range(state0):
+    out = P.inference(state0, _batch(), TINY)
+    assert out.shape == (2, 32, 64, 3)
+    o = np.asarray(out)
+    assert o.min() >= 0.0 and o.max() <= 50.0  # (tanh+1)*25 range
+
+
+def test_alternating_gan_steps_update_both_nets(state0):
+    batch = _batch(1)
+    g0 = jax.tree.map(lambda x: np.asarray(x).copy(), state0.g_params)
+    d0 = jax.tree.map(lambda x: np.asarray(x).copy(), state0.d_params)
+    u_before = np.asarray(jax.tree.leaves(state0.d_stats["spectral"])[0]).copy()
+
+    state, g_metrics, fake = P.generator_step(state0, batch, TINY)
+    state, d_metrics = P.discriminator_step(state, batch, TINY)
+
+    assert fake.shape == (2, 32, 64, 3)
+    for v in {**g_metrics, **d_metrics}.values():
+        assert np.isfinite(float(v)), (g_metrics, d_metrics)
+    changed_g = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(state.g_params))
+    )
+    changed_d = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(d0), jax.tree.leaves(state.d_params))
+    )
+    assert changed_g and changed_d
+    assert int(state.step) == 1
+    # the D forward inside the G step updates D's spectral u (torch hook parity)
+    u_after = np.asarray(jax.tree.leaves(state.d_stats["spectral"])[0])
+    assert not np.allclose(u_before, u_after)
+
+
+def test_make_guide_matches_manual_composition():
+    batch = _batch(3)
+    guide = P.make_guide(batch, TINY)
+    assert guide.shape == (2, 32, 64, 3)
+    from emlight_tpu.representation import render_anchor_params
+
+    manual = render_anchor_params(
+        batch["distribution"], batch["intensity"], batch["rgb_ratio"],
+        batch["ambient"], n=16, h=32, w=64,
+    ) * batch["alpha"][:, None, None, None]
+    np.testing.assert_allclose(np.asarray(guide), np.asarray(manual), rtol=1e-6)
+
+
+def test_overfit_discriminator_separates(state0):
+    # a few D steps on fixed data should reduce D loss (sanity of grads)
+    batch = _batch(4)
+    s, m0 = P.discriminator_step(state0, batch, TINY)
+    m = m0
+    for _ in range(5):
+        s, m = P.discriminator_step(s, batch, TINY)
+    assert float(m["loss_D"]) < float(m0["loss_D"])

@@ -1,0 +1,5 @@
+from .mesh import make_mesh, replicate, shard_batch  # noqa: F401
+from .parallel import (  # noqa: F401
+    make_parallel_projector_steps,
+    make_parallel_regression_step,
+)

@@ -134,6 +134,21 @@ def _sinkhorn_loop(alpha_log, beta_log, C_xx, C_yy, C_xy, C_yx, eps_s):
     return a_x_f, b_y_f, a_y_f, b_x_f
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def _global_extremum(x, axis_name, is_min):
+    return jax.lax.pmin(x, axis_name) if is_min else jax.lax.pmax(x, axis_name)
+
+
+@_global_extremum.defjvp
+def _global_extremum_jvp(axis_name, is_min, primals, tangents):
+    # pmin/pmax have no JVP rule in jax; the ε-schedule diameter is
+    # stop-gradient in the reference anyway (computed under no_grad), so a
+    # zero tangent is the faithful rule.
+    (x,) = primals
+    out = _global_extremum(x, axis_name, is_min)
+    return out, jnp.zeros_like(out)
+
+
 def _scal(alpha, f):
     return (alpha.reshape(alpha.shape[0], -1) * f.reshape(f.shape[0], -1)).sum(axis=1)
 
@@ -152,6 +167,7 @@ def sinkhorn_divergence(
     n_iters: int = 12,
     value_weight: float = 0.1,
     loop_fn=None,
+    axis_name: str | None = None,
 ):
     """Unbiased Sinkhorn divergence S_ε(α, β) between anchored histograms.
 
@@ -197,9 +213,14 @@ def sinkhorn_divergence(
     C_yx = cost(y, x, cost_matrix)
 
     if diameter is None:
-        # max_diameter over the flattened batch (sinkhorn_divergence.py:9-18)
+        # max_diameter over the flattened batch (sinkhorn_divergence.py:9-18);
+        # under a data mesh the reference semantics are "over the GLOBAL
+        # batch", so reduce across the data axis when one is bound
         mins = jnp.minimum(x.min(), y.min())
         maxs = jnp.maximum(x.max(), y.max())
+        if axis_name is not None:
+            mins = _global_extremum(mins, axis_name, True)
+            maxs = _global_extremum(maxs, axis_name, False)
         d = sg(jnp.abs(maxs - mins)) + 1e-8
         eps_s = _clamped_schedule(d, p, blur, scaling, n_iters)
     else:
@@ -235,6 +256,7 @@ class SamplesLoss:
         n_iters: int = 12,
         backend: str = "jnp",
         geometry=None,
+        axis_name: str | None = None,
     ):
         if loss != "sinkhorn":
             raise NotImplementedError("only the sinkhorn branch exists in the reference")
@@ -243,6 +265,7 @@ class SamplesLoss:
         self.p, self.blur, self.scaling = p, blur, scaling
         self.diameter = diameter
         self.n_iters = n_iters
+        self.axis_name = axis_name
         if geometry is not None:
             # GMLight: anchors pushed to per-sample geometric depth
             self.M = jnp.asarray(geometric_cost_matrix(n_anchors, geometry))
@@ -268,4 +291,5 @@ class SamplesLoss:
             diameter=self.diameter,
             n_iters=self.n_iters,
             loop_fn=self._loop_fn,
+            axis_name=self.axis_name,
         )

@@ -70,7 +70,7 @@ def create_state(rng: jax.Array, cfg: RegressionConfig, axis_name: str | None = 
     )
 
 
-def _make_sinkhorn(cfg: RegressionConfig) -> SamplesLoss:
+def _make_sinkhorn(cfg: RegressionConfig, axis_name: str | None = None) -> SamplesLoss:
     s = cfg.sinkhorn
     return SamplesLoss(
         "sinkhorn",
@@ -81,10 +81,12 @@ def _make_sinkhorn(cfg: RegressionConfig) -> SamplesLoss:
         n_iters=s.n_iters,
         n_anchors=cfg.anchors.regression_anchors,
         backend=s.backend,
+        axis_name=axis_name,
     )
 
 
-def loss_fn(params, batch_stats, apply_fn, batch, cfg: RegressionConfig, train: bool):
+def loss_fn(params, batch_stats, apply_fn, batch, cfg: RegressionConfig, train: bool,
+            axis_name: str | None = None):
     """Forward + composite loss. batch: crop (B,H,W,3), distribution (B,N),
     intensity (B,), rgb_ratio (B,3), ambient (B,3)."""
     variables = {"params": params, "batch_stats": batch_stats}
@@ -95,12 +97,16 @@ def loss_fn(params, batch_stats, apply_fn, batch, cfg: RegressionConfig, train: 
         pred = apply_fn(variables, batch["crop"], train=False)
         new_stats = batch_stats
 
-    emd = _make_sinkhorn(cfg)
+    emd = _make_sinkhorn(cfg, axis_name)
     dist_pred = pred["distribution"]
     dist_gt = batch["distribution"]
     mse = lambda a, b: jnp.mean((a - b) ** 2)
 
-    dist_emloss = emd(dist_pred[..., None], dist_gt[..., None]).sum() * cfg.w_emd
+    # The reference SUMS the EMD over the batch (train.py:92) while every L2
+    # term is a mean; under a data mesh the local sum must be scaled by the
+    # axis size so pmean(grads) reproduces the global-batch sum.
+    emd_scale = jax.lax.psum(1.0, axis_name) if axis_name is not None else 1.0
+    dist_emloss = emd(dist_pred[..., None], dist_gt[..., None]).sum() * cfg.w_emd * emd_scale
     dist_l2loss = mse(dist_pred, dist_gt) * cfg.w_dist_l2
     intensity_loss = mse(pred["intensity"][:, 0], batch["intensity"]) * cfg.w_intensity
     rgb_loss = mse(pred["rgb_ratio"], batch["rgb_ratio"]) * cfg.w_rgb

@@ -34,6 +34,7 @@ class _DenseLayer(nn.Module):
     bn_size: int
     drop_rate: float = 0.0
     axis_name: str | None = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -42,37 +43,41 @@ class _DenseLayer(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name,
+            dtype=self.dtype,
             name=name,
+        )
+        conv = lambda feats, k, name: nn.Conv(
+            feats, (k, k), padding=(k - 1) // 2, use_bias=False,
+            dtype=self.dtype, name=name,
         )
         h = bn("norm1")(x)
         h = nn.relu(h)
         if self.bn_size > 0:
-            h = nn.Conv(4 * self.growth_rate, (1, 1), use_bias=False, name="conv1")(h)
+            h = conv(4 * self.growth_rate, 1, "conv1")(h)
             h = bn("norm2")(h)
-            h = nn.Conv(
-                self.growth_rate, (3, 3), padding=1, use_bias=False, name="conv2"
-            )(h)
+            h = conv(self.growth_rate, 3, "conv2")(h)
         else:
-            h = nn.Conv(
-                self.growth_rate, (3, 3), padding=1, use_bias=False, name="conv2"
-            )(h)
+            h = conv(self.growth_rate, 3, "conv2")(h)
         if self.drop_rate > 0:
             h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
-        return jnp.concatenate([x, h], axis=-1)
+        return jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
 
 
 class _Transition(nn.Module):
     num_output_features: int
     axis_name: str | None = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name, name="norm",
+            axis_name=self.axis_name, dtype=self.dtype, name="norm",
         )(x)
         x = nn.relu(x)
-        x = nn.Conv(self.num_output_features, (1, 1), use_bias=False, name="conv")(x)
+        x = nn.Conv(
+            self.num_output_features, (1, 1), use_bias=False, dtype=self.dtype, name="conv"
+        )(x)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         return x
 
@@ -96,14 +101,19 @@ class DenseNet(nn.Module):
     avgpool_size: int = 4
     n_anchors: int = 96  # fc_dist head width (DenseNet.py:126; see SURVEY §2.6)
     axis_name: str | None = None
+    dtype: jnp.dtype = jnp.float32  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> RegressionOutput:
+        x = x.astype(self.dtype)
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name, name=name,
+            axis_name=self.axis_name, dtype=self.dtype, name=name,
         )
-        x = nn.Conv(self.num_init_features, (3, 3), padding=1, use_bias=False, name="conv0")(x)
+        x = nn.Conv(
+            self.num_init_features, (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype, name="conv0",
+        )(x)
         x = bn("norm0")(x)
         x = nn.relu(x)
 
@@ -112,20 +122,25 @@ class DenseNet(nn.Module):
             for j in range(num_layers):
                 x = _DenseLayer(
                     self.growth_rate, self.bn_size, self.drop_rate,
-                    axis_name=self.axis_name,
+                    axis_name=self.axis_name, dtype=self.dtype,
                     name=f"denseblock{i + 1}_denselayer{j + 1}",
                 )(x, train)
             num_features += num_layers * self.growth_rate
             num_features = int(math.floor(num_features * self.compression))
-            x = _Transition(num_features, axis_name=self.axis_name, name=f"transition{i + 1}")(x, train)
+            x = _Transition(
+                num_features, axis_name=self.axis_name, dtype=self.dtype,
+                name=f"transition{i + 1}",
+            )(x, train)
             x = bn(f"last_norm{i + 1}")(x)
 
         x = nn.relu(x)
         k = self.avgpool_size
         x = nn.avg_pool(x, (k, k), strides=(k, k))
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(1024, name="fc")(x)
+        x = nn.Dense(1024, dtype=self.dtype, name="fc")(x)
 
+        # heads in f32: small matmuls, and the outputs feed losses/rendering
+        x = x.astype(jnp.float32)
         return {
             "distribution": nn.Dense(self.n_anchors, name="fc_dist")(x),
             "intensity": nn.Dense(1, name="fc_intensity")(x),

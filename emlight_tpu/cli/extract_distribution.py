@@ -1,0 +1,105 @@
+"""Anchor-GT extraction CLI (mirrors RegressionNetwork/representation/
+distribution_representation.py:123-147, minus the hardcoded /home paths).
+
+Batches panoramas onto the device and runs the one-matmul extractor
+(representation/extract.py) — the >=10x preprocessing-throughput target.
+
+Usage:
+  python -m emlight_tpu.cli.extract_distribution --hdr_dir .../warpedHDROutputs \
+      --out_dir .../pkl [--anchors 128] [--batch 16] [--preview_dir tmp/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--hdr_dir", required=True, help="directory of .exr panoramas")
+    ap.add_argument("--out_dir", required=True, help="output directory for .pickle GT")
+    ap.add_argument("--anchors", type=int, default=128)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--limit", type=int, default=0, help="process at most N files")
+    ap.add_argument("--preview_dir", default=None, help="optional splat-render previews")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..core.hdr import TONEMAP_VIZ, read_hdr, resize_panorama
+    from ..representation import extract_anchors_batch, render_anchor_params
+    from ..train.data import prefetch
+
+    names = sorted(n for n in os.listdir(args.hdr_dir) if n.endswith(".exr"))
+    if args.limit:
+        names = names[: args.limit]
+    os.makedirs(args.out_dir, exist_ok=True)
+    h, w = args.height, args.height * 2
+
+    def loader():
+        for nm in names:
+            img = read_hdr(os.path.join(args.hdr_dir, nm))
+            if img.shape[:2] != (h, w):
+                img = resize_panorama(img, (w, h))
+            yield nm, img.astype(np.float32)
+
+    t0 = time.perf_counter()
+    done = 0
+    batch_names: list[str] = []
+    batch_imgs: list[np.ndarray] = []
+
+    def flush():
+        nonlocal done
+        if not batch_imgs:
+            return
+        out = extract_anchors_batch(jnp.stack([jnp.asarray(x) for x in batch_imgs]),
+                                    n=args.anchors)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for i, nm in enumerate(batch_names):
+            para = {
+                "distribution": out["distribution"][i],
+                "intensity": np.asarray(out["intensity"][i]),
+                "rgb_ratio": out["rgb_ratio"][i],
+                "ambient": out["ambient"][i],
+            }
+            with open(os.path.join(args.out_dir, nm.replace(".exr", ".pickle")), "wb") as f:
+                pickle.dump(para, f, protocol=pickle.HIGHEST_PROTOCOL)
+            if args.preview_dir:
+                _preview(para, args, nm)
+        done += len(batch_names)
+        batch_names.clear()
+        batch_imgs.clear()
+
+    def _preview(para, args, nm):
+        from PIL import Image
+
+        env = render_anchor_params(
+            jnp.asarray(para["distribution"][None]),
+            jnp.asarray(para["intensity"][None]),
+            jnp.asarray(para["rgb_ratio"][None]),
+            n=args.anchors,
+        )
+        tone, _ = TONEMAP_VIZ(np.asarray(env)[0])
+        os.makedirs(args.preview_dir, exist_ok=True)
+        Image.fromarray((tone * 255).astype(np.uint8)).save(
+            os.path.join(args.preview_dir, nm.replace(".exr", "_rec.png"))
+        )
+
+    for nm, img in prefetch(loader(), depth=4):
+        batch_names.append(nm)
+        batch_imgs.append(img)
+        if len(batch_imgs) == args.batch:
+            flush()
+    flush()
+    dt = time.perf_counter() - t0
+    print(f"extracted {done} panoramas in {dt:.2f}s ({done / max(dt, 1e-9):.1f} panoramas/sec)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""GenProjector inference CLI (replaces GenProjector/test.py + test.sh).
+
+Generates full HDR environment maps from anchor-GT pickles (or the pickles
+predicted by cli.test_regression for true end-to-end inference) plus crops,
+writing tonemapped .jpg + HDR .exr per sample (util.py:468-503 semantics).
+
+Usage:
+  python -m emlight_tpu.cli.test_projector --ckpt runs/projector/checkpoints/latest.msgpack \
+      --data_root /data/LavalIndoor --out_dir results_projector [--limit 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--out_dir", default="results_projector")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--crop_size", type=int, default=256)
+    ap.add_argument("--ngf", type=int, default=64)
+    ap.add_argument("--anchors", type=int, default=128)
+    ap.add_argument("--limit", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import AnchorConfig, ProjectorConfig
+    from ..core.exr import write_exr
+    from ..core.hdr import TONEMAP_VIZ
+    from ..train import checkpoint as ckpt_mod
+    from ..train import projector as P
+    from ..train.data import ProjectorDataset
+
+    env_h, env_w = args.crop_size // 2, args.crop_size
+    cfg = dataclasses.replace(
+        ProjectorConfig(),
+        crop_size=args.crop_size, ngf=args.ngf,
+        anchors=AnchorConfig(n_anchors=args.anchors, env_h=env_h, env_w=env_w),
+    )
+    state = P.create_state(jax.random.PRNGKey(0), cfg)
+    state = ckpt_mod.restore_checkpoint(args.ckpt, state)
+
+    ds = ProjectorDataset(args.data_root, crop_size=args.crop_size // 2)
+    n = min(len(ds), args.limit) if args.limit else len(ds)
+    os.makedirs(args.out_dir, exist_ok=True)
+    from PIL import Image
+
+    for s in range(0, n, args.batch):
+        idx = range(s, min(s + args.batch, n))
+        samples = [ds[i] for i in idx]
+        batch = {
+            k: jnp.asarray(np.stack([smp[k] for smp in samples]))
+            for k in samples[0]
+            if k != "name"
+        }
+        fake = np.asarray(P.inference(state, batch, cfg))
+        for i, smp in enumerate(samples):
+            nm = smp["name"]
+            write_exr(os.path.join(args.out_dir, f"{nm}.exr"), fake[i])
+            tone, _ = TONEMAP_VIZ(fake[i])
+            Image.fromarray((tone * 255).astype(np.uint8)).save(
+                os.path.join(args.out_dir, f"{nm}.jpg")
+            )
+        print(f"{min(s + args.batch, n)}/{n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""GenProjector adversarial training CLI (replaces GenProjector/train.py +
+model_trainer.py + train_laval.sh).
+
+TTUR hinge GAN with mask-weighted feature matching and optional VGG
+perceptual loss (weights via --vgg_npz / $EMLIGHT_VGG19_NPZ); alternating
+G/D steps with --d_steps_per_g cadence (train.py:29-37); periodic tonemapped
+image dumps and full-state checkpointing; optional data parallelism.
+
+Usage:
+  python -m emlight_tpu.cli.train_projector --data_root /data/LavalIndoor \
+      --out_dir runs/projector [--epochs 200] [--parallel]
+  python -m emlight_tpu.cli.train_projector --synthetic 64 --epochs 2 --ngf 8 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_root", default=None)
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--out_dir", default="runs/projector")
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--ngf", type=int, default=64)
+    ap.add_argument("--ndf", type=int, default=64)
+    ap.add_argument("--crop_size", type=int, default=256, help="2x env height")
+    ap.add_argument("--anchors", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--gan_mode", default="hinge", choices=("hinge", "ls", "original", "w"))
+    ap.add_argument("--d_steps_per_g", type=int, default=1)
+    ap.add_argument("--vgg_npz", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--parallel", action="store_true")
+    ap.add_argument("--display_every", type=int, default=100)
+    ap.add_argument("--save_every", type=int, default=500)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import AnchorConfig, ProjectorConfig
+    from ..core.hdr import TONEMAP_VIZ
+    from ..nn.vgg import VGG19Features, load_vgg19_params
+    from ..train import checkpoint as ckpt
+    from ..train import projector as P
+    from ..train.data import ProjectorDataset, batched, prefetch, synthetic_projector_batch
+    from ..train.loop import IterationTimer, MetricsLogger, NaNGuard
+
+    env_h, env_w = args.crop_size // 2, args.crop_size
+    cfg = dataclasses.replace(
+        ProjectorConfig(),
+        crop_size=args.crop_size, ngf=args.ngf, ndf=args.ndf,
+        batch_size=args.batch_size, lr=args.lr, gan_mode=args.gan_mode,
+        d_steps_per_g=args.d_steps_per_g,
+        anchors=AnchorConfig(n_anchors=args.anchors, env_h=env_h, env_w=env_w),
+    )
+
+    vgg_variables = load_vgg19_params(args.vgg_npz)
+    vgg_apply = None
+    if vgg_variables is not None:
+        vgg_apply = VGG19Features().apply
+        print("VGG19 perceptual loss enabled")
+    else:
+        print("VGG19 weights unavailable -> perceptual term disabled (see nn/vgg.py)")
+
+    if args.parallel:
+        from ..dist import make_mesh, make_parallel_projector_steps, replicate, shard_batch
+        from ..dist.mesh import DATA_AXIS
+
+        mesh = make_mesh()
+        state = P.create_state(jax.random.PRNGKey(0), cfg, axis_name=DATA_AXIS)
+        g_step, d_step = make_parallel_projector_steps(cfg, mesh)
+        g_fn = lambda s, b: g_step(s, b)
+        d_fn = lambda s, b: d_step(s, b)
+    else:
+        mesh = None
+        state = P.create_state(jax.random.PRNGKey(0), cfg)
+        g_fn = lambda s, b: P.generator_step(s, b, cfg, vgg_apply, vgg_variables)
+        d_fn = lambda s, b: P.discriminator_step(s, b, cfg)
+
+    ckpt_dir = os.path.join(args.out_dir, "checkpoints")
+    if args.resume and ckpt.latest_checkpoint(ckpt_dir):
+        state = ckpt.restore_checkpoint(ckpt.latest_checkpoint(ckpt_dir), state)
+        print(f"restored checkpoint at step {int(state.step)}")
+    if args.parallel:
+        state = replicate(state, mesh)
+
+    if args.synthetic:
+        def gen():
+            rng = np.random.default_rng(0)
+            while True:
+                for _ in range(max(args.synthetic // args.batch_size, 1)):
+                    b = synthetic_projector_batch(
+                        args.batch_size, args.anchors, args.crop_size // 2,
+                        (env_h, env_w), seed=int(rng.integers(1 << 31)),
+                    )
+                    yield {k: v for k, v in b.items() if not isinstance(v, list)}
+        batches = gen()
+        steps_per_epoch = max(args.synthetic // args.batch_size, 1)
+    else:
+        assert args.data_root, "--data_root or --synthetic required"
+        ds = ProjectorDataset(args.data_root, crop_size=args.crop_size // 2)
+        print(f"dataset: {len(ds)} samples")
+        batches = prefetch(batched(ds, args.batch_size, epochs=args.epochs), depth=4)
+        steps_per_epoch = len(ds) // args.batch_size
+
+    logger = MetricsLogger(args.out_dir)
+    timer = IterationTimer(args.out_dir, args.batch_size).resume()
+    guard = NaNGuard()
+    total_steps = args.epochs * steps_per_epoch
+
+    for batch in batches:
+        if timer.step >= total_steps:
+            break
+        batch.pop("name", None)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        if args.parallel:
+            jb = shard_batch(jb, mesh)
+        with timer:
+            metrics = {}
+            # G every d_steps_per_g iterations, D every iteration (train.py:29-37)
+            if timer.step % cfg.d_steps_per_g == 0:
+                state, g_metrics, fake = g_fn(state, jb)
+                metrics.update(g_metrics)
+            state, d_metrics = d_fn(state, jb)
+            metrics.update(d_metrics)
+        guard.check(timer.step, metrics)
+        logger.log(timer.step, metrics, timer.stats())
+
+        if args.display_every and timer.step % args.display_every == 0 and "loss_G" in metrics:
+            from PIL import Image
+
+            f = np.asarray(fake[0])
+            r = np.asarray(batch["warped"][0])
+            tone_f, _ = TONEMAP_VIZ(f)
+            tone_r, _ = TONEMAP_VIZ(r)
+            img = np.hstack([tone_r, tone_f])
+            os.makedirs(os.path.join(args.out_dir, "web"), exist_ok=True)
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(args.out_dir, "web", f"{timer.step}.jpg")
+            )
+        if args.save_every and timer.step % args.save_every == 0:
+            ckpt.save_checkpoint(ckpt_dir, state, "latest")
+            timer.record()
+
+    ckpt.save_checkpoint(ckpt_dir, state, "latest")
+    timer.record()
+    print(f"done at step {timer.step}; stats {timer.stats()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""End-to-end CLI smoke test on a synthetic Laval-layout dataset:
+extract GT -> train regression -> predict -> needlet GT -> previews."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from emlight_tpu.core.exr import write_exr
+
+
+@pytest.fixture(scope="module")
+def laval_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("laval")
+    (root / "warped").mkdir()
+    (root / "crop").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        pano = rng.random((128, 256, 3)).astype(np.float32) * 0.2
+        pano[40:44, 60 + 20 * i : 66 + 20 * i] = 300.0  # a light
+        write_exr(str(root / "warped" / f"s{i}.exr"), pano)
+        crop = rng.random((192, 256, 3)).astype(np.float32)
+        write_exr(str(root / "crop" / f"s{i}.exr"), crop)
+    return root
+
+
+def test_extract_distribution_cli(laval_root):
+    from emlight_tpu.cli.extract_distribution import main
+
+    out = laval_root / "pkl"
+    main([
+        "--hdr_dir", str(laval_root / "warped"), "--out_dir", str(out),
+        "--anchors", "96", "--batch", "2",
+    ])
+    files = sorted(os.listdir(out))
+    assert len(files) == 4
+    with open(out / files[0], "rb") as f:
+        para = pickle.load(f)
+    assert para["distribution"].shape == (96,)
+    np.testing.assert_allclose(para["distribution"].sum(), 1.0, rtol=1e-5)
+    assert {"intensity", "rgb_ratio", "ambient"} <= set(para)
+
+
+def test_train_and_test_regression_cli(laval_root, tmp_path):
+    from emlight_tpu.cli.test_regression import main as test_main
+    from emlight_tpu.cli.train_regression import main as train_main
+
+    # GT must exist (created by the extract test, but don't depend on order)
+    if not (laval_root / "pkl").exists():
+        test_extract_distribution_cli(laval_root)
+
+    out = tmp_path / "run"
+    train_main([
+        "--data_root", str(laval_root), "--out_dir", str(out),
+        "--epochs", "2", "--batch_size", "2", "--anchors", "96",
+        "--block_config", "2", "--crop", "64,64",
+        "--summary_every", "2", "--save_every", "2",
+    ])
+    ckpt = out / "checkpoints" / "latest.msgpack"
+    assert ckpt.exists()
+    assert (out / "metrics.csv").exists()
+    assert any((out / "summary").iterdir())
+
+    res = tmp_path / "results"
+    test_main([
+        "--ckpt", str(ckpt), "--data_root", str(laval_root),
+        "--out_dir", str(res), "--anchors", "96",
+        "--block_config", "2", "--crop", "64,64", "--render",
+    ])
+    pickles = [f for f in os.listdir(res) if f.endswith(".pickle")]
+    assert len(pickles) == 4
+    with open(res / pickles[0], "rb") as f:
+        pred = pickle.load(f)
+    assert pred["distribution"].shape == (96,)
+    assert any(f.endswith("_env.png") for f in os.listdir(res))
+
+
+def test_needlets_gt_cli(laval_root, tmp_path):
+    from emlight_tpu.cli.needlets_gt import main
+
+    out = tmp_path / "needlets"
+    main([
+        "--hdr_dir", str(laval_root / "warped"), "--out_dir", str(out),
+        "--jmax", "2", "--batch", "2", "--check",
+    ])
+    files = [f for f in os.listdir(out) if f.endswith(".npy")]
+    assert len(files) == 4
+    c = np.load(out / files[0])
+    assert c.shape == (253, 3)
+    # sparsified: many j2 coefficients zeroed
+    assert (np.abs(c[61:253]).sum(axis=1) == 0).mean() > 0.5
+
+
+def test_preview_cli(laval_root, tmp_path):
+    from emlight_tpu.cli.preview import main
+
+    out = tmp_path / "previews"
+    main(["--hdr_dir", str(laval_root / "warped"), "--out_dir", str(out)])
+    assert len(list(out.glob("*.jpg"))) == 4

@@ -42,12 +42,25 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     h, w = args.height, args.height * 2
 
-    def loader():
-        for nm in names:
-            img = read_hdr(os.path.join(args.hdr_dir, nm))
-            if img.shape[:2] != (h, w):
-                img = resize_panorama(img, (w, h))
-            yield nm, img.astype(np.float32)
+    from .. import native
+
+    if native.available():
+        # threaded C++ decode + area resize straight into one batch buffer
+        def loader():
+            for s in range(0, len(names), args.batch):
+                chunk = names[s : s + args.batch]
+                imgs, _ = native.load_batch(
+                    [os.path.join(args.hdr_dir, nm) for nm in chunk], (h, w)
+                )
+                for nm, img in zip(chunk, imgs):
+                    yield nm, img
+    else:
+        def loader():
+            for nm in names:
+                img = read_hdr(os.path.join(args.hdr_dir, nm))
+                if img.shape[:2] != (h, w):
+                    img = resize_panorama(img, (w, h))
+                yield nm, img.astype(np.float32)
 
     t0 = time.perf_counter()
     done = 0

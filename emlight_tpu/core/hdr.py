@@ -39,8 +39,19 @@ __all__ = [
 
 
 def read_hdr(path: str) -> np.ndarray:
-    """Read an HDR image (.exr via the in-repo codec, else imageio/cv2) as (H,W,3) float32."""
+    """Read an HDR image (.exr via the in-repo codec, else imageio/cv2) as (H,W,3) float32.
+
+    Prefers the native C++ decoder (emlight_tpu/native) when built; the
+    pure-Python codec is the always-available fallback and oracle.
+    """
     if path.lower().endswith(".exr"):
+        from .. import native
+
+        if native.available():
+            try:
+                return native.read_exr(path)
+            except IOError:
+                pass  # unsupported feature in the native path -> python codec
         return _exr.read_exr(path)
     try:
         import cv2
@@ -57,6 +68,14 @@ def read_hdr(path: str) -> np.ndarray:
 
 def write_hdr(path: str, data: np.ndarray) -> None:
     if path.lower().endswith(".exr"):
+        from .. import native
+
+        if data.ndim == 3 and data.shape[-1] == 3 and native.available():
+            try:
+                native.write_exr(path, data)
+                return
+            except IOError:
+                pass
         _exr.write_exr(path, data)
     else:
         import imageio

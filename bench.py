@@ -12,10 +12,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: compiles through this image's remote
+# compile service cost minutes; cache them across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/emlight_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def bench_tpu(batch_size: int = 64, iters: int = 30, warmup: int = 3):
@@ -130,12 +136,68 @@ def bench_torch_reference(batch_size: int = 4, iters: int = 5):
     return batch_size * iters / dt
 
 
+def bench_gt_extraction(batch: int = 64, reps: int = 20):
+    """Secondary metric: panorama -> anchor-GT extraction, on-device rate and
+    speedup vs the reference's per-anchor NumPy loop
+    (distribution_representation.py:90-120)."""
+    import jax
+    import jax.numpy as jnp
+
+    from emlight_tpu.core.geometry import nearest_anchor_index, steradian_map
+    from emlight_tpu.representation.extract import _assignment_matrix, _extract
+
+    rng = np.random.default_rng(0)
+    hdrs_np = rng.random((batch, 128, 256, 3)).astype(np.float32) * 5
+    hdrs_np[:, 40:44, 60:66] = 500.0
+
+    def ref_extract(hdr, ln=128):
+        h, w, _ = hdr.shape
+        ster = np.sin((np.linspace(0, h, num=h, endpoint=False) + 0.5) / h * np.pi)
+        hdr = hdr * ster[:, None, None]
+        inten = 0.3 * hdr[..., 0] + 0.59 * hdr[..., 1] + 0.11 * hdr[..., 2]
+        mask = (inten > inten.max() * 0.05)[..., None]
+        light = hdr * mask
+        idx = nearest_anchor_index(h, w, ln)
+        anchors = np.zeros((ln, 3))
+        for i in range(ln):
+            anchors[i] = (light * (idx == i)[..., None]).sum((0, 1))
+        e = 0.3 * anchors[:, 0] + 0.59 * anchors[:, 1] + 0.11 * anchors[:, 2]
+        return e / e.sum()
+
+    t0 = time.perf_counter()
+    for i in range(4):
+        ref_extract(hdrs_np[i])
+    ref_rate = 4 / (time.perf_counter() - t0)
+
+    hdrs = jnp.asarray(hdrs_np)
+    assign = jnp.asarray(_assignment_matrix(128, 256, 128))
+    ster = jnp.asarray(steradian_map(128, 256, multiply=False))
+
+    @jax.jit
+    def run_n(x):
+        def body(acc, _):
+            out = jax.vmap(lambda v: _extract(v, assign, ster, 0.05))(x + acc * 1e-30)
+            return acc + out["distribution"].sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return total
+
+    float(run_n(hdrs))
+    t0 = time.perf_counter()
+    float(run_n(hdrs))
+    rate = batch * reps / (time.perf_counter() - t0)
+    return rate, ref_rate
+
+
 def main():
     throughput, p50_ms = bench_tpu()
     try:
         ref = bench_torch_reference()
     except Exception:
         ref = None
+    try:
+        gt_rate, gt_ref = bench_gt_extraction()
+    except Exception:
+        gt_rate = gt_ref = None
     result = {
         "metric": "images/sec/chip (crop->128-anchor regression + env-map recon)",
         "value": round(throughput, 2),
@@ -144,6 +206,8 @@ def main():
         "p50_latency_ms_bs1": round(p50_ms, 2),
         "baseline_note": "baseline = reference-equivalent torch pipeline on host CPU (no GPU/published numbers exist)",
         "baseline_images_per_sec": round(ref, 3) if ref else None,
+        "gt_extraction_panoramas_per_sec": round(gt_rate, 1) if gt_rate else None,
+        "gt_extraction_vs_reference_numpy": round(gt_rate / gt_ref, 1) if gt_rate else None,
     }
     print(json.dumps(result))
 

@@ -26,27 +26,33 @@ def spectral_normalize(module: nn.Module, kernel: jax.Array, update: bool,
                        n_power_iterations: int = 1, eps: float = 1e-12) -> jax.Array:
     """Spectral-norm a kernel whose LAST axis is the output-channel axis.
 
-    Torch semantics (torch.nn.utils.spectral_norm defaults): power-iterate
-    u/v without gradient, sigma = u^T W v with u, v detached so gradients flow
-    through W only; u persists as a buffer and updates only in training mode.
-    The caller owns the module context; `u` lives in the "spectral" collection
-    (imported 1:1 from torch checkpoints).
+    Torch semantics (torch.nn.utils.spectral_norm defaults):
+    - training: power-iterate v then u without gradient, persist both, compute
+      sigma = u^T W v with the fresh (detached) vectors;
+    - eval: sigma from the STORED u AND v verbatim, no iteration — checkpoints
+      in the wild carry unconverged u/v, so recomputing v would change sigma.
+    Gradients flow through W only. `u`/`v` live in the "spectral" collection
+    (imported 1:1 from torch weight_u / permuted weight_v).
     """
     out = kernel.shape[-1]
     kmat = kernel.reshape(-1, out).T  # (out, rest); row space matches torch's W_mat
+    sg = jax.lax.stop_gradient
+    km = sg(kmat)
     u_var = module.variable(
         "spectral", "u",
         lambda: _l2_normalize(jax.random.normal(module.make_rng("params"), (out,)), eps),
     )
-    u = u_var.value
-    sg = jax.lax.stop_gradient
-    km = sg(kmat)
-    v = u
-    for _ in range(n_power_iterations):
-        v = _l2_normalize(km.T @ u, eps)
-        u = _l2_normalize(km @ v, eps)
-    if update and not module.is_initializing():
-        u_var.value = sg(u)
+    v_var = module.variable(
+        "spectral", "v", lambda: _l2_normalize(km.T @ u_var.value, eps)
+    )
+    u, v = u_var.value, v_var.value
+    if update:
+        for _ in range(n_power_iterations):
+            v = _l2_normalize(km.T @ u, eps)
+            u = _l2_normalize(km @ v, eps)
+        if not module.is_initializing():
+            u_var.value = sg(u)
+            v_var.value = sg(v)
     sigma = sg(u) @ kmat @ sg(v)
     return kernel / sigma
 

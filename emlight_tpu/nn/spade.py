@@ -176,7 +176,9 @@ class SPADEGenerator(nn.Module):
         sh = round(sw / self.aspect_ratio)
 
         z = ConvEncoder(ndf=nf, name="netE")(crop, train)
-        x = z.reshape(-1, 1, 2, 16 * nf)
+        # torch does z.view(-1, 16nf, 1, 2) in NCHW (generator.py:69); match
+        # that element order, then go NHWC
+        x = jnp.transpose(z.reshape(-1, 16 * nf, 1, 2), (0, 2, 3, 1))
         x = resize_nearest(x, (sh, sw))
 
         block = lambda fout, name: SPADEResnetBlock(

@@ -1,4 +1,4 @@
-"""PyTorch checkpoint import for the DenseNet regressor (parity harness).
+"""PyTorch checkpoint import (parity harness) for both model families.
 
 Maps a reference `state_dict` (RegressionNetwork/DenseNet.py:68-157, saved by
 train.py:147-167) onto the Flax module tree of nn/densenet.py:
@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["import_densenet_state_dict", "load_torch_state_dict"]
+__all__ = [
+    "import_densenet_state_dict",
+    "import_generator_state_dict",
+    "import_discriminator_state_dict",
+    "load_torch_state_dict",
+]
 
 
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
@@ -104,3 +109,120 @@ def import_densenet_state_dict(
 
     f32 = lambda t: jax.tree.map(lambda a: np.asarray(a, np.float32), t)
     return f32(params), f32(stats)
+
+
+# --------------------------------------------------------------------------- #
+# GenProjector (SPADE generator + multiscale discriminator) import.
+#
+# Torch naming derives from GenProjector/models/networks/{generator.py:27-47,
+# architecture.py:22-47, normalization.py:68-99, discriminator.py:76-105};
+# torch.nn.utils.spectral_norm stores weight_orig / weight_u / weight_v.
+# The flax spectral path recomputes v from the imported u (the kernel
+# reshape permutes W_mat columns, which leaves u and the singular values
+# invariant), so only weight_orig and weight_u are consumed.
+# --------------------------------------------------------------------------- #
+
+def _sn_conv(sd, prefix):
+    w = sd[f"{prefix}.weight_orig"]  # (out, in, kh, kw)
+    params = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        params["bias"] = sd[f"{prefix}.bias"]
+    # torch's v indexes W_mat columns in (in, kh, kw) flatten order; the flax
+    # kernel reshape flattens (kh, kw, in) -> permute
+    _, cin, kh, kw = w.shape
+    v = sd[f"{prefix}.weight_v"].reshape(cin, kh, kw).transpose(1, 2, 0).reshape(-1)
+    return params, {"u": sd[f"{prefix}.weight_u"], "v": np.ascontiguousarray(v)}
+
+
+def _spade(sd, prefix):
+    """SPADE norm: SphereConv mlps + param-free BN running stats."""
+    params = {
+        "mlp_shared": _conv(sd, f"{prefix}.mlp_shared.0"),
+        "mlp_gamma": _conv(sd, f"{prefix}.mlp_gamma"),
+        "mlp_beta": _conv(sd, f"{prefix}.mlp_beta"),
+    }
+    params["mlp_shared"]["bias"] = sd[f"{prefix}.mlp_shared.0.bias"]
+    params["mlp_gamma"]["bias"] = sd[f"{prefix}.mlp_gamma.bias"]
+    params["mlp_beta"]["bias"] = sd[f"{prefix}.mlp_beta.bias"]
+    stats = {
+        "param_free_norm": {
+            "mean": sd[f"{prefix}.param_free_norm.running_mean"],
+            "var": sd[f"{prefix}.param_free_norm.running_var"],
+        }
+    }
+    return params, stats
+
+
+def import_generator_state_dict(sd: dict[str, np.ndarray] | str, ngf: int = 64):
+    """netG state_dict -> (params, {'batch_stats': ..., 'spectral': ...})."""
+    if isinstance(sd, str):
+        sd = load_torch_state_dict(sd)
+    params: dict = {}
+    batch_stats: dict = {}
+    spectral: dict = {}
+
+    blocks = ["head_0", "G_middle_0", "G_middle_1", "up_0", "up_1", "up_2", "up_3"]
+    for b in blocks:
+        bp: dict = {}
+        bs: dict = {}
+        bu: dict = {}
+        convs = ["conv_0", "conv_1"] + (["conv_s"] if f"{b}.conv_s.weight_orig" in sd else [])
+        for c in convs:
+            bp[c], bu[c] = _sn_conv(sd, f"{b}.{c}")
+        for nrm in ["norm_0", "norm_1"] + (["norm_s"] if f"{b}.norm_s.mlp_gamma.weight" in sd else []):
+            bp[nrm], bs[nrm] = _spade(sd, f"{b}.{nrm}")
+        params[b] = bp
+        batch_stats[b] = bs
+        spectral[b] = bu
+
+    enc_p: dict = {}
+    enc_u: dict = {}
+    for i in range(1, 6):
+        enc_p[f"layer{i}"], enc_u[f"layer{i}"] = _sn_conv(sd, f"netE.layer{i}.0")
+    fc = _linear(sd, "netE.fc")
+    # torch flattens the pooled (C, 4, 4) NCHW feature map as C*H*W
+    # (generator.py:124); flax flattens NHWC -> permute the fc input axis
+    c = ngf * 8
+    torch_idx = np.arange(c * 16).reshape(c, 4, 4)
+    flax_order = np.transpose(torch_idx, (1, 2, 0)).reshape(-1)
+    fc["kernel"] = np.ascontiguousarray(fc["kernel"][flax_order])
+    enc_p["fc"] = fc
+    params["netE"] = enc_p
+    spectral["netE"] = enc_u
+
+    params["sphere_conv1"] = _conv(sd, "sphere_conv1")
+    params["sphere_conv1"]["bias"] = sd["sphere_conv1.bias"]
+
+    import jax
+
+    f32 = lambda t: jax.tree.map(lambda a: np.asarray(a, np.float32), t)
+    return f32(params), {"batch_stats": f32(batch_stats), "spectral": f32(spectral)}
+
+
+def import_discriminator_state_dict(sd: dict[str, np.ndarray] | str,
+                                    num_d: int = 2, n_layers: int = 4):
+    """netD state_dict -> (params, {'spectral': ...})."""
+    if isinstance(sd, str):
+        sd = load_torch_state_dict(sd)
+    params: dict = {}
+    spectral: dict = {}
+    for i in range(num_d):
+        dp: dict = {}
+        du: dict = {}
+        p0 = f"discriminator_{i}.model0.0"
+        dp["model0_conv"] = _conv(sd, p0)
+        dp["model0_conv"]["bias"] = sd[f"{p0}.bias"]
+        for n in range(1, n_layers):
+            dp[f"model{n}_conv"], du[f"model{n}_conv"] = _sn_conv(
+                sd, f"discriminator_{i}.model{n}.0.0"
+            )
+        plast = f"discriminator_{i}.model{n_layers}.0"
+        dp[f"model{n_layers}_conv"] = _conv(sd, plast)
+        dp[f"model{n_layers}_conv"]["bias"] = sd[f"{plast}.bias"]
+        params[f"discriminator_{i}"] = dp
+        spectral[f"discriminator_{i}"] = du
+
+    import jax
+
+    f32 = lambda t: jax.tree.map(lambda a: np.asarray(a, np.float32), t)
+    return f32(params), {"spectral": f32(spectral)}

@@ -61,6 +61,28 @@ def geometric_cost_matrix(n: int, anchor_depth) -> np.ndarray:
     return np.linalg.norm(a[:, None, :] - a[None, :, :], axis=-1).astype(np.float32)
 
 
+def geometric_cost_matrix_jnp(anchor_depth: jax.Array) -> jax.Array:
+    """In-graph GMLight cost matrix from traced per-anchor depths.
+
+    anchor_depth: (N,) or (B, N) -> (N, N) or (B, N, N). The reference rebuilds
+    its matrix per batch on the host (gmloss/samples_loss.py:69-72); here it
+    stays on device so depths can come straight from the data pipeline or a
+    depth head. Geometry matches geometric_points (gmloss/utils.py:63-73):
+    x/y scaled by depth, z on the unit golden-spiral profile.
+    """
+    n = anchor_depth.shape[-1]
+    golden_angle = np.pi * (3.0 - np.sqrt(5.0))
+    theta = jnp.asarray(golden_angle * np.arange(n), dtype=anchor_depth.dtype)
+    z = jnp.asarray(np.linspace(1 - 1.0 / n, 1.0 / n - 1, n), dtype=anchor_depth.dtype)
+    pts = jnp.stack(
+        [anchor_depth * jnp.cos(theta), anchor_depth * jnp.sin(theta),
+         jnp.broadcast_to(z, anchor_depth.shape)],
+        axis=-1,
+    )  # (..., N, 3)
+    diff = pts[..., :, None, :] - pts[..., None, :, :]
+    return jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 0.0))
+
+
 def log_weights(alpha: jax.Array) -> jax.Array:
     return jnp.where(alpha > 0, jnp.log(jnp.where(alpha > 0, alpha, 1.0)), _LOG_WEIGHT_FLOOR)
 
@@ -280,11 +302,14 @@ class SamplesLoss:
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
-    def __call__(self, x, y):
+    def __call__(self, x, y, geometry=None):
+        """geometry: optional traced (N,) or (B, N) anchor depths -> GMLight
+        dynamic cost matrix (gmloss/samples_loss.py:34-46 forward signature)."""
+        M = geometric_cost_matrix_jnp(jnp.asarray(geometry)) if geometry is not None else self.M
         return sinkhorn_divergence(
             x,
             y,
-            cost_matrix=self.M,
+            cost_matrix=M,
             p=self.p,
             blur=self.blur,
             scaling=self.scaling,

@@ -154,3 +154,22 @@ def test_gmlight_geometry_variant():
     loss = SamplesLoss("sinkhorn", blur=0.025, n_anchors=128, diameter=2.0, geometry=depth)
     v = np.asarray(loss(jnp.asarray(x), jnp.asarray(y)))
     assert v.shape == (2,) and np.all(np.isfinite(v))
+
+    # dynamic (traced) geometry == host-precomputed geometry
+    base = SamplesLoss("sinkhorn", blur=0.025, n_anchors=128, diameter=2.0)
+    v_dyn = np.asarray(base(jnp.asarray(x), jnp.asarray(y), geometry=jnp.asarray(depth)))
+    np.testing.assert_allclose(v_dyn, v, rtol=1e-5, atol=1e-8)
+
+    # per-sample (B, N) depths are accepted
+    depths_b = np.stack([depth, depth * 1.5])
+    v_b = np.asarray(base(jnp.asarray(x), jnp.asarray(y), geometry=jnp.asarray(depths_b)))
+    np.testing.assert_allclose(v_b[0], v[0], rtol=1e-5, atol=1e-8)
+
+    # the traced matrix equals the host-built one, and scales with depth
+    from emlight_tpu.losses.sinkhorn import geometric_cost_matrix, geometric_cost_matrix_jnp
+
+    M_host = geometric_cost_matrix(128, depth)
+    M_jnp = np.asarray(geometric_cost_matrix_jnp(jnp.asarray(depth)))
+    np.testing.assert_allclose(M_jnp, M_host, rtol=1e-4, atol=1e-6)
+    M_scaled = np.asarray(geometric_cost_matrix_jnp(jnp.asarray(depth * 1.5)))
+    assert np.abs(M_scaled - M_jnp).max() > 0.1

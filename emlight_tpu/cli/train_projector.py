@@ -70,18 +70,27 @@ def main(argv=None):
     else:
         print("VGG19 weights unavailable -> perceptual term disabled (see nn/vgg.py)")
 
+    if args.synthetic:
+        steps_per_epoch = max(args.synthetic // args.batch_size, 1)
+    else:
+        assert args.data_root, "--data_root or --synthetic required"
+        ds = ProjectorDataset(args.data_root, crop_size=args.crop_size // 2)
+        print(f"dataset: {len(ds)} samples")
+        steps_per_epoch = max(len(ds) // args.batch_size, 1)
+
     if args.parallel:
         from ..dist import make_mesh, make_parallel_projector_steps, replicate, shard_batch
         from ..dist.mesh import DATA_AXIS
 
         mesh = make_mesh()
-        state = P.create_state(jax.random.PRNGKey(0), cfg, axis_name=DATA_AXIS)
+        state = P.create_state(jax.random.PRNGKey(0), cfg, axis_name=DATA_AXIS,
+                               steps_per_epoch=steps_per_epoch)
         g_step, d_step = make_parallel_projector_steps(cfg, mesh)
         g_fn = lambda s, b: g_step(s, b)
         d_fn = lambda s, b: d_step(s, b)
     else:
         mesh = None
-        state = P.create_state(jax.random.PRNGKey(0), cfg)
+        state = P.create_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=steps_per_epoch)
         g_fn = lambda s, b: P.generator_step(s, b, cfg, vgg_apply, vgg_variables)
         d_fn = lambda s, b: P.discriminator_step(s, b, cfg)
 
@@ -96,20 +105,15 @@ def main(argv=None):
         def gen():
             rng = np.random.default_rng(0)
             while True:
-                for _ in range(max(args.synthetic // args.batch_size, 1)):
+                for _ in range(steps_per_epoch):
                     b = synthetic_projector_batch(
                         args.batch_size, args.anchors, args.crop_size // 2,
                         (env_h, env_w), seed=int(rng.integers(1 << 31)),
                     )
                     yield {k: v for k, v in b.items() if not isinstance(v, list)}
         batches = gen()
-        steps_per_epoch = max(args.synthetic // args.batch_size, 1)
     else:
-        assert args.data_root, "--data_root or --synthetic required"
-        ds = ProjectorDataset(args.data_root, crop_size=args.crop_size // 2)
-        print(f"dataset: {len(ds)} samples")
         batches = prefetch(batched(ds, args.batch_size, epochs=args.epochs), depth=4)
-        steps_per_epoch = len(ds) // args.batch_size
 
     logger = MetricsLogger(args.out_dir)
     timer = IterationTimer(args.out_dir, args.batch_size).resume()

@@ -61,7 +61,7 @@ class ProjectorConfig:
     """SPADE GenProjector (GenProjector/options + train_laval.sh defaults)."""
 
     anchors: AnchorConfig = field(default_factory=AnchorConfig)
-    crop_size: int = 128          # encoder input (generator.py:116)
+    crop_size: int = 256          # base_options.py:36; env map = (crop_size/2, crop_size)
     ngf: int = 64
     ndf: int = 64
     num_d: int = 2                # discriminator.py:21
@@ -80,6 +80,10 @@ class ProjectorConfig:
     norm_g: str = "spectralspadesyncbatch3x3"
     use_vgg_loss: bool = True
     d_steps_per_g: int = 1
+    # linear lr decay after niter epochs over niter_decay epochs
+    # (train_laval.sh:5-6: 100+100; model_trainer.py:68-88)
+    niter: int = 100
+    niter_decay: int = 100
 
 
 @dataclass(frozen=True)

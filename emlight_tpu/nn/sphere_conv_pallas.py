@@ -1,0 +1,187 @@
+"""Fused Pallas TPU kernel for the distortion-aware sphere convolution.
+
+The XLA gather formulation (nn/sphere_conv.py) re-reads the feature map from
+HBM 36x per conv (9 taps x 4 bilinear neighbors) and measures ~8x slower than
+a dense conv. This kernel exploits the structure of the gnomonic sampling
+pattern (verified at table-build time):
+
+- the sampled ROW of every (output-row i, tap t, neighbor k) lies within
+  [i-2, i+1] of the (stride-scaled) source row -> a 4-row halo window per
+  output row block, DMA'd HBM->VMEM once;
+- the sampled COLUMN is a constant circular shift s(i, t, k) of the output
+  column -> a dynamic slice of the doubled row buffer, no gather at all;
+- per-column bilinear weights w(i, t, k, j) fold the reference's zero-padding
+  seam behavior (sphere_cnn.py:54-55 wraps, grid_sample zero-pads the
+  half-open edges) into the weight table.
+
+Each tap then contributes one (W, Cin) x (Cin, Cout) MXU matmul. HBM traffic
+drops from 36 reads to ~1 read of the input per conv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sphere_conv import sphere_taps
+
+__all__ = ["sphere_conv_pallas", "structured_tables"]
+
+
+@functools.lru_cache(maxsize=None)
+def structured_tables(h: int, w: int, stride: int = 1):
+    """Decompose the gather tables into (row, shift, per-column weight).
+
+    Returns:
+      rows:   (Ho, 9, 4) int32 — source row, clamped into [0, h)
+      shifts: (Ho, 9, 4) int32 — circular column shift (out col j reads
+              input col (j*stride + shift) mod w ... for stride 1; for
+              stride 2 the table stores absolute source columns per out col)
+      wcol:   (Ho, 9, 4, Wo) float32 — bilinear weight per output column
+    """
+    idx, wgt, (ho, wo) = sphere_taps(h, w, stride)
+    idx = idx.reshape(ho, wo, 9, 4)
+    wgt = wgt.reshape(ho, wo, 9, 4)
+    rows = idx // w  # already clamped by table construction
+    cols = idx % w
+    j = (np.arange(wo) * stride)[None, :, None, None]
+    shift = (cols - j) % w
+    # rows and shifts are column-independent wherever the weight is nonzero;
+    # pick the first nonzero-weight column as the canonical value
+    mask = wgt > 0
+    # fall back to column 0 when a whole (i,t,k) row is dead (weight 0)
+    first = np.argmax(mask, axis=1)  # (ho, 9, 4)
+    gi, gt, gk = np.meshgrid(np.arange(ho), np.arange(9), np.arange(4), indexing="ij")
+    rows_c = rows[gi, first, gt, gk].astype(np.int32)
+    shift_c = shift[gi, first, gt, gk].astype(np.int32)
+    # sanity: the structured decomposition must reproduce the exact tables
+    recon_cols = (j + shift_c[:, None, :, :]) % w
+    assert ((recon_cols == cols) | ~mask).all(), "column structure violated"
+    assert ((rows_c[:, None, :, :] == rows) | ~mask).all(), "row structure violated"
+    wcol = np.ascontiguousarray(wgt.transpose(0, 2, 3, 1)).astype(np.float32)  # (ho,9,4,wo)
+    return rows_c, shift_c, wcol
+
+
+def _kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, k_ref, b_ref, out_ref,
+            win_ref, s_ref, sems, *, br: int, w: int, win_rows: int, stride: int, h: int):
+    """Generic body for stride 1 and 2. win_ref holds the halo window DOUBLED
+    along W (circular shifts become pl.ds ref slices — Mosaic has no
+    dynamic_slice on values)."""
+    rb = pl.program_id(1)
+    src0 = rb * br * stride
+    # window start clamped so [start, start+win_rows) stays in range
+    start = jnp.clip(src0 - 2, 0, h - win_rows)
+
+    b_idx = pl.program_id(0)
+    w_in = win_ref.shape[1] // 2
+    dma0 = pltpu.make_async_copy(
+        x_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref.at[:, 0:w_in], sems.at[0]
+    )
+    dma0.start()
+    dma0.wait()
+    # duplicate along W inside VMEM (half the HBM traffic of a second DMA)
+    win_ref[:, w_in:] = win_ref[:, 0:w_in]
+
+    bias = b_ref[:]  # (1, cout_block)
+    cin = k_ref.shape[1]
+
+    # one (br*W, Cin) x (Cin, Cout) MXU matmul per tap: the per-row sampled
+    # block is staged in s_ref, then all rows multiply at once
+    def tap_body(t, acc):
+        def row_body(ii, _):
+            s_row = jnp.zeros((w, cin), jnp.float32)
+
+            def nb_body(k, s_row):
+                r_local = rows_ref[0, ii, t, k] - start
+                shift = shifts_ref[0, ii, t, k]
+                shifted = win_ref[r_local, pl.ds(shift, w_in)]  # (w_in, cin)
+                if stride > 1:
+                    # out col j samples input col stride*j + shift
+                    shifted = shifted.reshape(w, stride, cin)[:, 0, :]
+                return s_row + wcol_ref[ii, t, k][:, None] * shifted
+
+            s_ref[ii] = jax.lax.fori_loop(0, 4, nb_body, s_row)
+            return 0
+
+        jax.lax.fori_loop(0, br, row_body, 0)
+        smat = s_ref[:].reshape(br * w, cin)
+        return acc + jnp.dot(smat, k_ref[t], preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, 9, tap_body, jnp.zeros((br * w, k_ref.shape[-1]), jnp.float32)
+    )
+    out_ref[0] = (acc + bias).reshape(br, w, k_ref.shape[-1])
+
+
+def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
+                       stride: int = 1, block_rows: int = 8,
+                       cout_block: int = 128, interpret: bool | None = None) -> jax.Array:
+    """Drop-in replacement for sphere_conv_apply (stride 1 or 2).
+
+    x: (B, H, W, Cin) f32; kernel (3, 3, Cin, Cout) HWIO; out (B, Ho, Wo, Cout).
+    """
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    rows_c, shift_c, wcol = structured_tables(h, w, stride)
+    ho, wo = wcol.shape[0], wcol.shape[3]
+
+    br = min(block_rows, ho)
+    n_rb = pl.cdiv(ho, br)
+    if ho % br:
+        raise ValueError(f"ho={ho} not divisible by block_rows={br}")
+    cb = min(cout_block, cout)
+    n_cb = pl.cdiv(cout, cb)
+    if cout % cb:
+        cb = cout  # small heads: single block
+        n_cb = 1
+    win_rows = min(br * stride + 4, h)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kflat = kernel.reshape(9, cin, cout)
+    bias_in = (bias if bias is not None else jnp.zeros(cout, x.dtype)).reshape(1, cout)
+
+    # stride-2 tables store source columns for out col j at input col j*2 +
+    # shift; fold the *2 into the shift so the kernel slices the doubled row
+    # at (j + shift') — only valid when wo == w (stride 1). For stride 2 the
+    # kernel instead slices at (2j + shift): implemented by sampling a
+    # strided slice of the shifted doubled row.
+    grid = (b, n_rb, n_cb)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, br=br, w=wo, win_rows=win_rows, stride=stride, h=h,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, 9, 4, wo), lambda bb, rb, cb_: (rb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM, DMA'd manually
+            pl.BlockSpec((9, cin, cb), lambda bb, rb, cb_: (0, 0, cb_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda bb, rb, cb_: (0, cb_), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, br, wo, cb), lambda bb, rb, cb_: (bb, rb, 0, cb_),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, 2 * w, cin), jnp.float32),  # doubled along W
+            pltpu.VMEM((br, wo, cin), jnp.float32),           # per-tap staging
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(rows_c)[None], jnp.asarray(shift_c)[None], jnp.asarray(wcol),
+        x.astype(jnp.float32), kflat.astype(jnp.float32), bias_in.astype(jnp.float32),
+    )
+    return out

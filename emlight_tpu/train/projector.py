@@ -71,7 +71,23 @@ def _env_hw(cfg: ProjectorConfig):
     return cfg.crop_size // 2, cfg.crop_size
 
 
-def create_state(rng: jax.Array, cfg: ProjectorConfig, axis_name: str | None = None) -> ProjectorState:
+def _lr_schedule(base_lr: float, cfg: ProjectorConfig, steps_per_epoch: int | None):
+    """Constant for niter epochs, then linear decay to 0 over niter_decay
+    epochs (the reference's per-epoch lr -= lr0/niter_decay,
+    model_trainer.py:68-88)."""
+    if steps_per_epoch is None:
+        return base_lr
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        over = jnp.maximum(epoch - cfg.niter, 0)
+        return base_lr * jnp.clip(1.0 - over / cfg.niter_decay, 0.0, 1.0)
+
+    return schedule
+
+
+def create_state(rng: jax.Array, cfg: ProjectorConfig, axis_name: str | None = None,
+                 steps_per_epoch: int | None = None) -> ProjectorState:
     g, d = make_models(cfg, axis_name)
     env_h, env_w = _env_hw(cfg)
     guide = jnp.zeros((1, env_h, env_w, 3))
@@ -81,8 +97,9 @@ def create_state(rng: jax.Array, cfg: ProjectorConfig, axis_name: str | None = N
     dv = jax.jit(functools.partial(d.init, train=True))(
         kd, jnp.zeros((2, env_h, env_w, cfg.semantic_nc + cfg.output_nc))
     )
-    tx_g = optax.adam(cfg.lr / 2, b1=cfg.beta1, b2=cfg.beta2)
-    tx_d = optax.adam(cfg.lr * 2, b1=cfg.beta1, b2=cfg.beta2)
+    # TTUR: G lr/2, D lr*2 (pix2pix_model.py:61-68), with optional linear decay
+    tx_g = optax.adam(_lr_schedule(cfg.lr / 2, cfg, steps_per_epoch), b1=cfg.beta1, b2=cfg.beta2)
+    tx_d = optax.adam(_lr_schedule(cfg.lr * 2, cfg, steps_per_epoch), b1=cfg.beta1, b2=cfg.beta2)
     g_stats = {k: gv[k] for k in gv if k != "params"}
     d_stats = {k: dv[k] for k in dv if k != "params"}
     return ProjectorState(

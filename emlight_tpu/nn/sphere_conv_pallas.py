@@ -63,7 +63,10 @@ def structured_tables(h: int, w: int, stride: int = 1):
     recon_cols = (j + shift_c[:, None, :, :]) % w
     assert ((recon_cols == cols) | ~mask).all(), "column structure violated"
     assert ((rows_c[:, None, :, :] == rows) | ~mask).all(), "row structure violated"
-    wcol = np.ascontiguousarray(wgt.transpose(0, 2, 3, 1)).astype(np.float32)  # (ho,9,4,wo)
+    # (ho, 9, 4, wo, 1): weights arrive in VMEM with wo on the SUBLANE axis —
+    # a lane-oriented (wo,) vector would need a relayout to broadcast against
+    # the (wo, cin) sampled rows (Mosaic rejects it for most cin)
+    wcol = np.ascontiguousarray(wgt.transpose(0, 2, 3, 1))[..., None].astype(np.float32)
     return rows_c, shift_c, wcol
 
 
@@ -78,14 +81,12 @@ def _kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, k_ref, b_ref, out_ref,
     start = jnp.clip(src0 - 2, 0, h - win_rows)
 
     b_idx = pl.program_id(0)
-    w_in = win_ref.shape[1] // 2
+    w_in = win_ref.shape[1]
     dma0 = pltpu.make_async_copy(
-        x_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref.at[:, 0:w_in], sems.at[0]
+        x_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref, sems.at[0]
     )
     dma0.start()
     dma0.wait()
-    # duplicate along W inside VMEM (half the HBM traffic of a second DMA)
-    win_ref[:, w_in:] = win_ref[:, 0:w_in]
 
     bias = b_ref[:]  # (1, cout_block)
     cin = k_ref.shape[1]
@@ -99,11 +100,13 @@ def _kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, k_ref, b_ref, out_ref,
             def nb_body(k, s_row):
                 r_local = rows_ref[0, ii, t, k] - start
                 shift = shifts_ref[0, ii, t, k]
-                shifted = win_ref[r_local, pl.ds(shift, w_in)]  # (w_in, cin)
+                # circular shift on the sublane axis via the native dynamic
+                # rotate (dynamic-start sublane slices don't lower)
+                shifted = pltpu.roll(win_ref[r_local], w_in - shift, 0)
                 if stride > 1:
                     # out col j samples input col stride*j + shift
                     shifted = shifted.reshape(w, stride, cin)[:, 0, :]
-                return s_row + wcol_ref[ii, t, k][:, None] * shifted
+                return s_row + wcol_ref[ii, t, k] * shifted  # (wo,1)*(wo,cin)
 
             s_ref[ii] = jax.lax.fori_loop(0, 4, nb_body, s_row)
             return 0
@@ -127,8 +130,22 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     """
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
+    # The in-kernel dynamic rotate needs full 128-lane tiles; VMEM pads the
+    # lane dim to 128 regardless, so zero-padding cin up to 128 costs nothing
+    # (zeros contribute nothing to the matmul).
+    if cin < 128:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - cin)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 128 - cin), (0, 0)))
+        cin = 128
+    pad_out = 0
+    if cout < 8:
+        pad_out = 8 - cout
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, pad_out)))
+        if bias is not None:
+            bias = jnp.pad(bias, (0, pad_out))
+        cout = 8
     rows_c, shift_c, wcol = structured_tables(h, w, stride)
-    ho, wo = wcol.shape[0], wcol.shape[3]
+    ho, wo = wcol.shape[0], wcol.shape[3]  # wcol is (ho, 9, 4, wo, 1)
 
     br = min(block_rows, ho)
     n_rb = pl.cdiv(ho, br)
@@ -164,7 +181,7 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((br, 9, 4, wo), lambda bb, rb, cb_: (rb, 0, 0, 0),
+            pl.BlockSpec((br, 9, 4, wo, 1), lambda bb, rb, cb_: (rb, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM, DMA'd manually
             pl.BlockSpec((9, cin, cb), lambda bb, rb, cb_: (0, 0, cb_),
@@ -175,13 +192,18 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_rows, 2 * w, cin), jnp.float32),  # doubled along W
+            pltpu.VMEM((win_rows, w, cin), jnp.float32),
             pltpu.VMEM((br, wo, cin), jnp.float32),           # per-tap staging
             pltpu.SemaphoreType.DMA((1,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         jnp.asarray(rows_c)[None], jnp.asarray(shift_c)[None], jnp.asarray(wcol),
         x.astype(jnp.float32), kflat.astype(jnp.float32), bias_in.astype(jnp.float32),
     )
+    if pad_out:
+        out = out[..., : cout - pad_out]
     return out

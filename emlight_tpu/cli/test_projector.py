@@ -62,7 +62,9 @@ def main(argv=None):
             for k in samples[0]
             if k != "name"
         }
-        fake = np.asarray(P.inference(state, batch, cfg))
+        fake = np.asarray(
+            P.inference(state, batch, cfg, use_pallas=jax.default_backend() == "tpu")
+        )
         for i, smp in enumerate(samples):
             nm = smp["name"]
             write_exr(os.path.join(args.out_dir, f"{nm}.exr"), fake[i])

@@ -160,7 +160,13 @@ def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     Inside a pallas_sphere_convs() context on TPU, dispatches to the fused
     halo-DMA Pallas kernel (nn/sphere_conv_pallas.py) instead.
     """
-    if _PREFER_PALLAS and jax.default_backend() == "tpu":
+    # the fused kernel wins where the gather traffic dominates (high
+    # resolution); at low spatial dims its loop overhead loses to XLA
+    if (
+        _PREFER_PALLAS
+        and jax.default_backend() == "tpu"
+        and x.shape[1] * x.shape[2] >= 8192
+    ):
         from .sphere_conv_pallas import sphere_conv_pallas
 
         return sphere_conv_pallas(x, kernel, bias, stride)

@@ -220,9 +220,16 @@ def discriminator_step(state: ProjectorState, batch, cfg: ProjectorConfig):
     return state, {"D_Fake": d_fake, "D_real": d_real, "loss_D": total}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def inference(state: ProjectorState, batch, cfg: ProjectorConfig):
-    """Eval-mode generation (pix2pix_model.py:49-52)."""
-    guide = make_guide(batch, cfg)
-    variables = {"params": state.g_params, **state.g_stats}
-    return state.g_apply(variables, guide, batch["crop"], train=False)
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def inference(state: ProjectorState, batch, cfg: ProjectorConfig, use_pallas: bool = False):
+    """Eval-mode generation (pix2pix_model.py:49-52).
+
+    use_pallas routes high-resolution sphere convs through the fused Pallas
+    kernel (TPU inference only — it has no VJP); ~1.6x on the full generator.
+    """
+    from ..nn.sphere_conv import pallas_sphere_convs
+
+    with pallas_sphere_convs(use_pallas):
+        guide = make_guide(batch, cfg)
+        variables = {"params": state.g_params, **state.g_stats}
+        return state.g_apply(variables, guide, batch["crop"], train=False)

@@ -75,7 +75,8 @@ class RegressionDataset:
 class ProjectorDataset:
     """GT pickle + warped panorama + crop; env-map rasterization happens on device."""
 
-    def __init__(self, root: str, tone: Tonemap = TONEMAP_INPUT, crop_size: int = 128):
+    def __init__(self, root: str, tone: Tonemap = TONEMAP_INPUT, crop_size: int = 128,
+                 env_hw: tuple[int, int] | None = None):
         pkl_dir = os.path.join(root, "pkl")
         self.samples = []
         for nm in sorted(os.listdir(pkl_dir)):
@@ -86,6 +87,9 @@ class ProjectorDataset:
                     self.samples.append((os.path.join(pkl_dir, nm), warped, crop))
         self.tone = tone
         self.crop_size = crop_size
+        # generator output is (crop_size, 2*crop_size); the warped target and
+        # light mask must match (reference assumes 128x256 inputs throughout)
+        self.env_hw = env_hw or (crop_size, crop_size * 2)
 
     def __len__(self):
         return len(self.samples)
@@ -98,6 +102,8 @@ class ProjectorDataset:
         crop, alpha = self.tone(crop)
         crop = resize_panorama(crop, (self.crop_size, self.crop_size))
         hdr = read_hdr(warped_path)
+        if hdr.shape[:2] != self.env_hw:
+            hdr = resize_panorama(hdr, (self.env_hw[1], self.env_hw[0]))
         intensity = 0.3 * hdr[..., 0] + 0.59 * hdr[..., 1] + 0.11 * hdr[..., 2]
         light_map = (intensity > intensity.max() * 0.05).astype(np.float32)
         return {

@@ -76,7 +76,10 @@ def _lr_schedule(base_lr: float, cfg: ProjectorConfig, steps_per_epoch: int | No
     epochs (the reference's per-epoch lr -= lr0/niter_decay,
     model_trainer.py:68-88)."""
     if steps_per_epoch is None:
-        return base_lr
+        # constant, but still a callable: keeps the optax state STRUCTURE
+        # identical to the scheduled case so checkpoints restore into
+        # templates built either way
+        return lambda step: base_lr
 
     def schedule(step):
         epoch = step // steps_per_epoch

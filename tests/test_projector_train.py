@@ -88,6 +88,20 @@ def test_make_guide_matches_manual_composition():
     np.testing.assert_allclose(np.asarray(guide), np.asarray(manual), rtol=1e-6)
 
 
+def test_projector_checkpoint_roundtrip(state0, tmp_path):
+    from emlight_tpu.train import checkpoint as ckpt
+
+    state, _, _ = P.generator_step(state0, _batch(7), TINY)
+    path = ckpt.save_checkpoint(str(tmp_path), state)
+    template = P.create_state(jax.random.PRNGKey(9), TINY)
+    restored = ckpt.restore_checkpoint(path, template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(state.g_params), jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.d_opt), jax.tree.leaves(restored.d_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_overfit_discriminator_separates(state0):
     # a few D steps on fixed data should reduce D loss (sanity of grads)
     batch = _batch(4)

@@ -35,6 +35,7 @@ __all__ = [
     "resize_panorama",
     "rotate_panorama",
     "crop_panorama",
+    "warp_panorama",
 ]
 
 
@@ -168,6 +169,79 @@ def rotate_panorama(img: np.ndarray, deg: float) -> np.ndarray:
     """Horizontal (azimuthal) roll of an equirect panorama. util.py:101-105."""
     shift = int(deg / 360.0 * img.shape[1])
     return np.roll(img, shift=shift, axis=1)
+
+
+def warp_panorama(
+    img: np.ndarray,
+    res_h: int = 512,
+    res_w: int = 512,
+    theta_deg: float = 0.0,
+    phi_deg: float = 0.0,
+    move: float = 0.0,
+) -> np.ndarray:
+    """Re-render a panorama from a rotated / translated viewpoint.
+
+    Capability of GenProjector/util.py:279-343 (`resize_exr`): build the
+    output equirect ray grid, rotate by theta (about x) then phi (about the
+    rotated y-axis), translate the view center by `move` along the rotated
+    forward direction, renormalize, and resample the source panorama with
+    horizontally-wrapping bilinear interpolation. theta=phi=move=0 is a pure
+    equirect resample.
+    """
+    img = np.asarray(img, dtype=np.float32)
+    src_h, src_w = img.shape[:2]
+    theta = np.deg2rad(theta_deg)
+    phi = np.deg2rad(phi_deg)
+
+    ct, st = np.cos(theta), np.sin(theta)
+    rot_theta = np.array([[1, 0, 0], [0, ct, -st], [0, st, ct]], dtype=np.float64)
+    axis = np.array([0.0, np.cos(theta), np.sin(theta)])
+    cp, sp = np.cos(phi), -np.sin(phi)
+    ax, ay, az = axis
+    rot_phi = np.array(
+        [
+            [cp + ax * ax * (1 - cp), ax * ay * (1 - cp) - az * sp, ax * az * (1 - cp) + ay * sp],
+            [ay * ax * (1 - cp) + az * sp, cp + ay * ay * (1 - cp), ay * az * (1 - cp) - ax * sp],
+            [az * ax * (1 - cp) - ay * sp, az * ay * (1 - cp) + ax * sp, cp + az * az * (1 - cp)],
+        ]
+    )
+
+    ix = np.arange(res_h, dtype=np.float64)[:, None].repeat(res_w, 1)
+    iy = np.arange(res_w, dtype=np.float64)[None, :].repeat(res_h, 0)
+    lat = ix * np.pi / res_h - np.pi / 2
+    lon = iy * 2 * np.pi / res_w
+    rays = np.stack(
+        [np.sin(lat), np.sin(lon) * np.cos(lat), -np.cos(lon) * np.cos(lat)], axis=0
+    ).reshape(3, -1)
+
+    move_dir = rot_phi @ (rot_theta @ np.array([0.0, 0.0, -1.0]))
+    rays = rot_phi @ (rot_theta @ rays)
+    rays = rays + move * move_dir[:, None]
+    rays = rays / np.linalg.norm(rays, axis=0, keepdims=True)
+
+    cur_lat = np.arcsin(np.clip(rays[0], -1, 1))
+    cur_lon = np.arctan2(rays[1], -rays[2]) % (2 * np.pi)
+    sx = (cur_lat + np.pi / 2) / np.pi * src_h
+    sy = cur_lon / (2 * np.pi) * src_w
+
+    # wrapping bilinear resample (cv2.BORDER_WRAP semantics)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0)[:, None]
+    fy = (sy - y0)[:, None]
+    x0c = np.clip(x0, 0, src_h - 1)
+    x1c = np.clip(x0 + 1, 0, src_h - 1)
+    y0w = y0 % src_w
+    y1w = (y0 + 1) % src_w
+    flat = img.reshape(-1, img.shape[-1] if img.ndim == 3 else 1)
+    at = lambda r, c: flat[r * src_w + c]
+    out = (
+        at(x0c, y0w) * (1 - fx) * (1 - fy)
+        + at(x0c, y1w) * (1 - fx) * fy
+        + at(x1c, y0w) * fx * (1 - fy)
+        + at(x1c, y1w) * fx * fy
+    )
+    return out.reshape(res_h, res_w, -1).astype(np.float32).squeeze()
 
 
 def crop_panorama(

@@ -15,13 +15,13 @@ shard, so replication is preserved without any broadcast step.
 
 from __future__ import annotations
 
-import functools
-
 import jax
+import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..config import ProjectorConfig, RegressionConfig
+from ..losses.gan import cosine_loss, feature_matching_loss, gan_loss
 from ..train import projector as proj
 from ..train import regression as reg
 from .mesh import DATA_AXIS
@@ -72,8 +72,6 @@ def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh):
             pred_fake, pred_real, d_mut = proj._run_d(
                 state, state.d_params, guide, fake, real, True
             )
-            from ..losses.gan import cosine_loss, feature_matching_loss, gan_loss
-
             losses = {
                 "GAN": gan_loss(pred_fake, True, False, cfg.gan_mode),
                 "GAN_Feat": feature_matching_loss(
@@ -92,8 +90,6 @@ def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh):
         # weights; pmean keeps them bitwise-replicated
         g_mut = jax.lax.pmean(g_mut, DATA_AXIS)
         d_mut = jax.lax.pmean(d_mut, DATA_AXIS)
-        import optax
-
         updates, g_opt = state.tx_g.update(grads, state.g_opt, state.g_params)
         state = state.replace(
             g_params=optax.apply_updates(state.g_params, updates),
@@ -111,8 +107,6 @@ def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh):
             pred_fake, pred_real, d_mut = proj._run_d(
                 state, d_params, guide, fake, real, True
             )
-            from ..losses.gan import gan_loss
-
             d_f = gan_loss(pred_fake, False, True, cfg.gan_mode)
             d_r = gan_loss(pred_real, True, True, cfg.gan_mode)
             return d_f + d_r, (d_f, d_r, d_mut)
@@ -122,8 +116,6 @@ def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh):
         )
         grads = jax.lax.pmean(grads, DATA_AXIS)
         metrics = jax.lax.pmean({"D_Fake": d_f, "D_real": d_r, "loss_D": total}, DATA_AXIS)
-        import optax
-
         updates, d_opt = state.tx_d.update(grads, state.d_opt, state.d_params)
         state = state.replace(
             d_params=optax.apply_updates(state.d_params, updates),

@@ -154,4 +154,4 @@ def load_batch(paths: list[str], out_hw: tuple[int, int],
         alphas.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
     )
     _check(rc, "load_batch")
-    return out, (alphas if tonemap is not None else alphas)
+    return out, (alphas if tonemap is not None else None)

@@ -20,6 +20,7 @@ TPU-native design here:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import flax.linen as nn
@@ -124,8 +125,6 @@ def sphere_gather(x: jax.Array, stride: int = 1, tap: int | None = None):
         return outs[0]
     return jnp.stack(outs, axis=2)
 
-
-import contextlib
 
 _PREFER_PALLAS = False
 

@@ -24,7 +24,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/emlight_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
-def bench_tpu(batch_size: int = 64, iters: int = 30, warmup: int = 3):
+def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
+    # throughput saturates at batch 128 on v5e (64 -> 175 img/s, 128 -> 292)
     import jax
     import jax.numpy as jnp
 

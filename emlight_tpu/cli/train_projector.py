@@ -85,7 +85,7 @@ def main(argv=None):
         mesh = make_mesh()
         state = P.create_state(jax.random.PRNGKey(0), cfg, axis_name=DATA_AXIS,
                                steps_per_epoch=steps_per_epoch)
-        g_step, d_step = make_parallel_projector_steps(cfg, mesh)
+        g_step, d_step = make_parallel_projector_steps(cfg, mesh, vgg_apply, vgg_variables)
         g_fn = lambda s, b: g_step(s, b)
         d_fn = lambda s, b: d_step(s, b)
     else:

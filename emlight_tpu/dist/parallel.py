@@ -16,6 +16,7 @@ shard, so replication is preserved without any broadcast step.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
@@ -55,11 +56,13 @@ def make_parallel_regression_step(cfg: RegressionConfig, mesh: Mesh):
     return jax.jit(sharded)
 
 
-def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh):
+def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh,
+                                  vgg_apply=None, vgg_variables=None):
     """Returns (g_step, d_step) shard_mapped over the data axis.
 
     State from proj.create_state(rng, cfg, axis_name=DATA_AXIS). The fake image
-    returned by g_step stays sharded over the data axis.
+    returned by g_step stays sharded over the data axis. vgg_apply/variables
+    enable the perceptual term exactly as in the single-device step.
     """
 
     def g_core(state, batch):
@@ -79,6 +82,15 @@ def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh):
                 ),
                 "COS": cosine_loss(fake, real) * cfg.lambda_cos,
             }
+            if vgg_apply is not None:
+                from ..nn.vgg import VGG_SLICE_WEIGHTS
+
+                ff = vgg_apply(vgg_variables, fake)
+                fr = vgg_apply(vgg_variables, real)
+                losses["VGG"] = cfg.lambda_vgg * sum(
+                    w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+                    for w, a, b in zip(VGG_SLICE_WEIGHTS, ff, fr)
+                )
             return sum(losses.values()), (losses, g_mut, d_mut, fake)
 
         (total, (losses, g_mut, d_mut, fake)), grads = jax.value_and_grad(

@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("--block_config", default="16,16,16",
                     help="DenseNet blocks, e.g. '2,2' for smoke runs")
     ap.add_argument("--crop", default="192,256", help="input H,W")
+    ap.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize dense layers; with --dtype bfloat16 "
+                         "enables full-size bs16 training on one 16GB chip")
     args = ap.parse_args(argv)
 
     import jax
@@ -59,6 +63,8 @@ def main(argv=None):
         crop_h=crop_h,
         crop_w=crop_w,
         block_config=tuple(int(x) for x in args.block_config.split(",")),
+        dtype=args.dtype,
+        remat=args.remat,
     )
 
     if args.parallel:

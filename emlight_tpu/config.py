@@ -54,6 +54,7 @@ class RegressionConfig:
     w_rgb: float = 100.0
     w_ambient: float = 1.0
     dtype: str = "float32"
+    remat: bool = False  # rematerialize dense layers (needed for bs>=16 full-size training)
 
 
 @dataclass(frozen=True)

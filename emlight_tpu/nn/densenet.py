@@ -102,10 +102,14 @@ class DenseNet(nn.Module):
     n_anchors: int = 96  # fc_dist head width (DenseNet.py:126; see SURVEY §2.6)
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32  # compute dtype; params stay f32
+    remat: bool = False  # rematerialize dense layers (training memory + XLA graph size)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> RegressionOutput:
         x = x.astype(self.dtype)
+        layer_cls = (
+            nn.remat(_DenseLayer, static_argnums=(2,)) if self.remat else _DenseLayer
+        )
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name, dtype=self.dtype, name=name,
@@ -120,7 +124,7 @@ class DenseNet(nn.Module):
         num_features = self.num_init_features
         for i, num_layers in enumerate(self.block_config):
             for j in range(num_layers):
-                x = _DenseLayer(
+                x = layer_cls(
                     self.growth_rate, self.bn_size, self.drop_rate,
                     axis_name=self.axis_name, dtype=self.dtype,
                     name=f"denseblock{i + 1}_denselayer{j + 1}",

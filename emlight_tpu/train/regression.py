@@ -51,6 +51,7 @@ def make_model(cfg: RegressionConfig, axis_name: str | None = None) -> DenseNet:
         num_init_features=cfg.num_init_features,
         axis_name=axis_name,
         dtype=jnp.dtype(cfg.dtype),
+        remat=cfg.remat,
     )
 
 

@@ -40,7 +40,26 @@ def restore_checkpoint(path: str, template):
     """Restore into a template state (same structure, e.g. from create_state)."""
     with open(path, "rb") as f:
         data = f.read()
-    return flax.serialization.from_bytes(template, data)
+    restored = flax.serialization.from_bytes(template, data)
+    # fail with the offending path instead of a downstream shape error (the
+    # usual cause: template built with different --anchors/--block_config/
+    # --ngf than the checkpointed run)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(jax.tree.map(jnp_shape, template))[0],
+        jax.tree_util.tree_flatten_with_path(jax.tree.map(jnp_shape, restored))[0],
+    ):
+        if a != b:
+            name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+            raise ValueError(
+                f"checkpoint {path} does not match the model/optimizer template "
+                f"at {name}: template {a} vs checkpoint {b} — check the model "
+                f"size flags (--anchors/--block_config/--ngf/...) used for training"
+            )
+    return restored
+
+
+def jnp_shape(x):
+    return getattr(x, "shape", ())
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:

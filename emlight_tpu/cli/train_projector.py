@@ -43,14 +43,19 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from ..config import AnchorConfig, ProjectorConfig
     from ..core.hdr import TONEMAP_VIZ
     from ..nn.vgg import VGG19Features, load_vgg19_params
     from ..train import checkpoint as ckpt
     from ..train import projector as P
-    from ..train.data import ProjectorDataset, batched, prefetch, synthetic_projector_batch
+    from ..train.data import (
+        ProjectorDataset,
+        batched,
+        device_prefetch,
+        prefetch,
+        synthetic_projector_batch,
+    )
     from ..train.loop import IterationTimer, MetricsLogger, NaNGuard
 
     env_h, env_w = args.crop_size // 2, args.crop_size
@@ -79,7 +84,7 @@ def main(argv=None):
         steps_per_epoch = max(len(ds) // args.batch_size, 1)
 
     if args.parallel:
-        from ..dist import make_mesh, make_parallel_projector_steps, replicate, shard_batch
+        from ..dist import make_mesh, make_parallel_projector_steps, replicate
         from ..dist.mesh import DATA_AXIS
 
         mesh = make_mesh()
@@ -120,13 +125,16 @@ def main(argv=None):
     guard = NaNGuard()
     total_steps = args.epochs * steps_per_epoch
 
-    for batch in batches:
+    if args.parallel:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+    else:
+        sharding = None
+
+    for jb, _rest in device_prefetch(batches, sharding):
         if timer.step >= total_steps:
             break
-        batch.pop("name", None)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        if args.parallel:
-            jb = shard_batch(jb, mesh)
         with timer:
             metrics = {}
             # G every d_steps_per_g iterations, D every iteration (train.py:29-37)
@@ -142,7 +150,7 @@ def main(argv=None):
             from PIL import Image
 
             f = np.asarray(fake[0])
-            r = np.asarray(batch["warped"][0])
+            r = np.asarray(jb["warped"][0])
             tone_f, _ = TONEMAP_VIZ(f)
             tone_r, _ = TONEMAP_VIZ(r)
             img = np.hstack([tone_r, tone_f])

@@ -45,12 +45,17 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from ..config import AnchorConfig, RegressionConfig, SinkhornConfig
     from ..train import checkpoint as ckpt
     from ..train import regression as R
-    from ..train.data import RegressionDataset, batched, prefetch, synthetic_regression_batch
+    from ..train.data import (
+        RegressionDataset,
+        batched,
+        device_prefetch,
+        prefetch,
+        synthetic_regression_batch,
+    )
     from ..train.loop import IterationTimer, MetricsLogger, NaNGuard, profile_trace, render_summary
 
     crop_h, crop_w = (int(x) for x in args.crop.split(","))
@@ -68,7 +73,7 @@ def main(argv=None):
     )
 
     if args.parallel:
-        from ..dist import make_mesh, make_parallel_regression_step, replicate, shard_batch
+        from ..dist import make_mesh, make_parallel_regression_step, replicate
         from ..dist.mesh import DATA_AXIS
 
         mesh = make_mesh()
@@ -109,14 +114,19 @@ def main(argv=None):
     guard = NaNGuard()
     total_steps = args.epochs * steps_per_epoch
 
+    if args.parallel:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+    else:
+        sharding = None
+
     with profile_trace(args.profile_dir):
-        for batch in batches:
+        # device_prefetch overlaps the host->device transfer of batch i+1
+        # with the step on batch i
+        for jb, _rest in device_prefetch(batches, sharding):
             if timer.step >= total_steps:
                 break
-            names = batch.pop("name", None)
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            if args.parallel:
-                jb = shard_batch(jb, mesh)
             with timer:
                 state, metrics = step_fn(state, jb)
             guard.check(timer.step, metrics)
@@ -126,10 +136,10 @@ def main(argv=None):
                 _, pred = R.eval_step(state, jb, cfg) if not args.parallel else (None, None)
                 if pred is not None:
                     render_summary(
-                        batch["crop"][0], np.asarray(pred["distribution"][0]),
-                        batch["distribution"][0], float(pred["intensity"][0, 0]),
-                        float(batch["intensity"][0]), np.asarray(pred["rgb_ratio"][0]),
-                        batch["rgb_ratio"][0], cfg.anchors.regression_anchors,
+                        np.asarray(jb["crop"][0]), np.asarray(pred["distribution"][0]),
+                        np.asarray(jb["distribution"][0]), float(pred["intensity"][0, 0]),
+                        float(jb["intensity"][0]), np.asarray(pred["rgb_ratio"][0]),
+                        np.asarray(jb["rgb_ratio"][0]), cfg.anchors.regression_anchors,
                         os.path.join(args.out_dir, "summary", f"{timer.step}.jpg"),
                         intensity_scale=cfg.anchors.intensity_scale,
                     )

@@ -141,6 +141,29 @@ def batched(dataset, batch_size: int, *, shuffle: bool = True, seed: int = 0,
         epoch += 1
 
 
+def device_prefetch(it: Iterator, sharding=None) -> Iterator:
+    """Overlap host->device transfer with compute: batch i+1 is device_put
+    (async) while the consumer steps on batch i. `sharding` routes arrays to a
+    mesh (dist.shard_batch semantics); None targets the default device."""
+    import jax
+
+    put = (
+        (lambda x: jax.device_put(x, sharding))
+        if sharding is not None
+        else jax.device_put
+    )
+    pending = None
+    for batch in it:
+        arrays = {k: v for k, v in batch.items() if not isinstance(v, (str, list))}
+        rest = {k: v for k, v in batch.items() if isinstance(v, (str, list))}
+        nxt = ({k: put(v) for k, v in arrays.items()}, rest)
+        if pending is not None:
+            yield pending
+        pending = nxt
+    if pending is not None:
+        yield pending
+
+
 def prefetch(it: Iterator, depth: int = 2) -> Iterator:
     """Run an iterator in a background thread with a bounded queue."""
     q: queue.Queue = queue.Queue(maxsize=depth)

@@ -96,8 +96,9 @@ def main(argv=None):
     else:
         mesh = None
         state = P.create_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=steps_per_epoch)
-        g_fn = lambda s, b: P.generator_step(s, b, cfg, vgg_apply, vgg_variables)
-        d_fn = lambda s, b: P.discriminator_step(s, b, cfg)
+        use_pallas = jax.default_backend() == "tpu"
+        g_fn = lambda s, b: P.generator_step(s, b, cfg, vgg_apply, vgg_variables, use_pallas)
+        d_fn = lambda s, b: P.discriminator_step(s, b, cfg, use_pallas)
 
     ckpt_dir = os.path.join(args.out_dir, "checkpoints")
     if args.resume and ckpt.latest_checkpoint(ckpt_dir):

@@ -131,10 +131,13 @@ _PREFER_PALLAS = False
 
 @contextlib.contextmanager
 def pallas_sphere_convs(enable: bool = True):
-    """Route sphere convs through the fused Pallas kernel (TPU, ~2.4x faster).
+    """Route sphere convs through the fused Pallas kernels (TPU, ~2.4x).
 
-    Inference-only: the Pallas kernel has no VJP, so training paths keep the
-    differentiable gather formulation. Used by the inference entry points.
+    Stride-1 convs dispatch to the custom-VJP path (sphere_conv_vjp) and are
+    fully differentiable — training steps can run inside this context.
+    Stride-2 convs (discriminator front layers) use the forward-only kernel,
+    which has no VJP; they fall back to the gather formulation here so
+    gradients always work, and only inference gets their fused version.
     """
     global _PREFER_PALLAS
     prev = _PREFER_PALLAS
@@ -165,10 +168,11 @@ def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
         _PREFER_PALLAS
         and jax.default_backend() == "tpu"
         and x.shape[1] * x.shape[2] >= 8192
+        and stride == 1
     ):
-        from .sphere_conv_pallas import sphere_conv_pallas
+        from .sphere_conv_vjp import sphere_conv_trainable
 
-        return sphere_conv_pallas(x, kernel, bias, stride)
+        return sphere_conv_trainable(x, kernel, bias, 1)
     b, h, w, cin = x.shape
     idx, wgt, (ho, wo) = sphere_taps(h, w, stride)
     xf = x.reshape(b, h * w, cin)

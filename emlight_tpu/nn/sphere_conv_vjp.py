@@ -1,0 +1,209 @@
+"""Custom VJP for the fused Pallas sphere convolution (training fast path).
+
+Forward: the halo-DMA kernel (sphere_conv_pallas).
+Backward:
+- dx: a mirror Pallas kernel over INVERSE tables. The forward reads
+  out[i] += (Σ_k w_{itk} ⊙ roll(x[r_{itk}], -s_{itk})) @ K_t, so the
+  transpose scatters dx[r] += Σ_{(i,t,k): r_{itk}=r} roll(w ⊙ (g[i] @ K_tᵀ), +s).
+  The fan-in per input row is bounded (the forward's row halo is [-2, +1]),
+  so the scatter becomes a fixed-size gather over (out-row, tap, neighbor)
+  triples grouped per input row — no atomic scatter, XLA's weakest op here.
+- dK[t] = Σ_i s_t(x)[i]ᵀ g[i]: the per-tap weighted samples contracted with
+  the cotangent — computed with the XLA gather formulation (one forward-
+  equivalent pass; already efficient as a batched matmul).
+- dbias = Σ g.
+
+Stride 1 only (the generator's hot path); stride-2 callers keep the
+differentiable gather formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sphere_conv import sphere_taps
+from .sphere_conv_pallas import sphere_conv_pallas, structured_tables
+
+__all__ = ["sphere_conv_trainable"]
+
+_MAX_FANIN = 64  # padded (i, t, k) triple count per input row (measured <= ~40)
+
+
+@functools.lru_cache(maxsize=None)
+def inverse_tables(h: int, w: int):
+    """Group forward triples by their source row.
+
+    Returns (out_rows, taps, shifts, weights, fanin):
+      out_rows (H, M) int32 — contributing output row (clamped; weight 0 pads)
+      taps     (H, M) int32
+      shifts   (H, M) int32 — roll amount (+s) applied AFTER w ⊙ u
+      weights  (H, M, W, 1) f32 — the forward's per-out-column weight vector
+      fanin: max used M (<= _MAX_FANIN)
+    """
+    rows_c, shift_c, wcol = structured_tables(h, w, 1)  # wcol (H, 9, 4, W, 1)
+    per_row: list[list[tuple[int, int, int]]] = [[] for _ in range(h)]
+    for i in range(h):
+        for t in range(9):
+            for k in range(4):
+                if wcol[i, t, k].any():
+                    per_row[rows_c[i, t, k]].append((i, t, k))
+    fanin = max(len(v) for v in per_row)
+    assert fanin <= _MAX_FANIN, fanin
+    m = fanin
+    # padded slots carry zero weight but MUST index inside the DMA window:
+    # point them at the row itself (row 0 would go negative after the window
+    # offset — interpret mode wraps negative indices, real hardware faults)
+    out_rows = np.repeat(np.arange(h, dtype=np.int32)[:, None], m, axis=1)
+    taps = np.zeros((h, m), np.int32)
+    shifts = np.zeros((h, m), np.int32)
+    weights = np.zeros((h, m, w, 1), np.float32)
+    for r in range(h):
+        for j, (i, t, k) in enumerate(per_row[r]):
+            out_rows[r, j] = i
+            taps[r, j] = t
+            shifts[r, j] = shift_c[i, t, k]
+            weights[r, j] = wcol[i, t, k]
+    return out_rows, taps, shifts, weights, fanin
+
+
+def _dx_kernel(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref, dx_ref,
+               win_ref, sems, *, br: int, w: int, win_rows: int, h: int, fanin: int):
+    rb = pl.program_id(1)
+    r0 = rb * br
+    # contributing output rows lie within [r0-1, r0+br+2) (inverse halo)
+    start = jnp.clip(r0 - 1, 0, h - win_rows)
+    b_idx = pl.program_id(0)
+    dma = pltpu.make_async_copy(g_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref, sems.at[0])
+    dma.start()
+    dma.wait()
+
+    cinb = kt_ref.shape[-1]
+
+    def row_body(rr, _):
+        def contrib(m, acc):
+            i_local = orow_ref[0, rr, m] - start
+            t = tap_ref[0, rr, m]
+            s = shift_ref[0, rr, m]
+            u = jnp.dot(win_ref[i_local], kt_ref[t], preferred_element_type=jnp.float32)
+            wu = wvec_ref[rr, m] * u  # (w, cinb)
+            return acc + pltpu.roll(wu, s, 0)
+
+        acc = jax.lax.fori_loop(0, fanin, contrib, jnp.zeros((w, cinb), jnp.float32))
+        dx_ref[0, rr] = acc
+        return 0
+
+    jax.lax.fori_loop(0, br, row_body, 0)
+
+
+def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, block_rows: int = 8,
+               cin_block: int = 128, interpret: bool | None = None) -> jax.Array:
+    """dx from the cotangent g (B, H, W, Cout) and kernel (3,3,Cin,Cout)."""
+    b, h, w, cout = g.shape
+    cin = x_shape[-1]
+    pad_cin = 0
+    if cin < 128:
+        pad_cin = 128 - cin
+    if cout < 128:
+        # dynamic rotate needs full lane tiles on u = g @ KT -> pad cout too
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, 128 - cout)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, 128 - cout)))
+        cout = 128
+    if pad_cin:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad_cin), (0, 0)))
+        cin = 128
+
+    out_rows, taps, shifts, weights, fanin = inverse_tables(h, w)
+    br = min(block_rows, h)
+    if h % br:
+        raise ValueError(f"h={h} not divisible by block_rows={br}")
+    cb = min(cin_block, cin)
+    if cin % cb:
+        cb = cin
+    win_rows = min(br + 3, h)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kt = jnp.transpose(kernel.reshape(9, cin, cout), (0, 2, 1))  # (9, cout, cin)
+
+    dx = pl.pallas_call(
+        functools.partial(_dx_kernel, br=br, w=w, win_rows=win_rows, h=h, fanin=fanin),
+        grid=(b, h // br, cin // cb),
+        in_specs=[
+            pl.BlockSpec((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, fanin, w, 1), lambda bb, rb, cb_: (rb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # g in HBM, DMA'd
+            pl.BlockSpec((9, cout, cb), lambda bb, rb, cb_: (0, 0, cb_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, br, w, cb), lambda bb, rb, cb_: (bb, rb, 0, cb_),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cin), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, w, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        jnp.asarray(out_rows)[None], jnp.asarray(taps)[None],
+        jnp.asarray(shifts)[None], jnp.asarray(weights),
+        g.astype(jnp.float32), kt.astype(jnp.float32),
+    )
+    if pad_cin:
+        dx = dx[..., : cin - pad_cin]
+    return dx
+
+
+def _dk_gather(x: jax.Array, g: jax.Array, cout: int) -> jax.Array:
+    """dK via the XLA gather formulation: dK[t] = Σ sampled_tᵀ g."""
+    b, h, w, cin = x.shape
+    idx, wgt, _ = sphere_taps(h, w, 1)
+    xf = x.reshape(b, h * w, cin)
+    gf = g.reshape(b, h * w, cout)
+    idx_t = jnp.asarray(idx.transpose(1, 0, 2))
+    wgt_t = jnp.asarray(wgt.transpose(1, 0, 2))
+
+    def body(_, tap):
+        t_idx, t_wgt = tap
+        s = 0.0
+        for k in range(4):
+            s = s + jnp.take(xf, t_idx[:, k], axis=1) * t_wgt[:, k][None, :, None]
+        dk_t = jnp.einsum("bpc,bpd->cd", s, gf, preferred_element_type=jnp.float32)
+        return None, dk_t
+
+    _, dk = jax.lax.scan(body, None, (idx_t, wgt_t))
+    return dk.reshape(3, 3, cin, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sphere_conv_trainable(x, kernel, bias, stride: int = 1):
+    """Sphere conv with Pallas forward AND Pallas dx backward (stride 1)."""
+    return sphere_conv_pallas(x, kernel, bias, stride)
+
+
+def _fwd(x, kernel, bias, stride):
+    return sphere_conv_pallas(x, kernel, bias, stride), (x, kernel, bias is not None)
+
+
+def _bwd(stride, res, g):
+    assert stride == 1, "trainable pallas path is stride-1 only"
+    x, kernel, has_bias = res
+    dx = _dx_pallas(g, kernel, x.shape)
+    dk = _dk_gather(x, g, g.shape[-1])
+    db = g.sum(axis=(0, 1, 2)) if has_bias else None
+    return dx, dk, db
+
+
+sphere_conv_trainable.defvjp(_fwd, _bwd)

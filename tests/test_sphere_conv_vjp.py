@@ -1,0 +1,66 @@
+"""Pallas sphere-conv custom VJP vs jax.grad of the gather formulation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from emlight_tpu.nn.sphere_conv import sphere_conv_apply
+from emlight_tpu.nn.sphere_conv_vjp import inverse_tables, sphere_conv_trainable
+
+
+def test_inverse_tables_cover_all_triples():
+    from emlight_tpu.nn.sphere_conv_pallas import structured_tables
+
+    h, w = 16, 32
+    rows_c, _, wcol = structured_tables(h, w, 1)
+    out_rows, taps, shifts, weights, fanin = inverse_tables(h, w)
+    # every nonzero forward triple appears exactly once in the inverse tables
+    n_fwd = sum(
+        1 for i in range(h) for t in range(9) for k in range(4) if wcol[i, t, k].any()
+    )
+    n_inv = sum(
+        1 for r in range(h) for m in range(fanin) if weights[r, m].any()
+    )
+    assert n_fwd == n_inv
+    assert fanin <= 64
+
+
+def test_vjp_matches_gather_autodiff():
+    rng = np.random.default_rng(0)
+    b, h, w, cin, cout = 2, 16, 32, 8, 8
+    x = jnp.asarray(rng.random((b, h, w, cin), dtype=np.float32))
+    k = jnp.asarray(rng.normal(0, 0.2, (3, 3, cin, cout)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, cout).astype(np.float32))
+    tgt = jnp.asarray(rng.random((b, h, w, cout), dtype=np.float32))
+
+    def loss_ref(x, k, bias):
+        return jnp.sum((sphere_conv_apply(x, k, bias, 1) - tgt) ** 2)
+
+    def loss_new(x, k, bias):
+        return jnp.sum((sphere_conv_trainable(x, k, bias, 1) - tgt) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(x, k, bias)
+    v_new, g_new = jax.value_and_grad(loss_new, argnums=(0, 1, 2))(x, k, bias)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-5)
+    for a, b_, name in zip(g_new, g_ref, ("dx", "dk", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4, err_msg=name
+        )
+
+
+def test_vjp_no_bias():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 8, 16, 4), dtype=np.float32))
+    k = jnp.asarray(rng.normal(0, 0.2, (3, 3, 4, 8)).astype(np.float32))
+
+    def f(x, k):
+        return jnp.sum(sphere_conv_trainable(x, k, None, 1) ** 2)
+
+    gx, gk = jax.grad(f, argnums=(0, 1))(x, k)
+
+    def f_ref(x, k):
+        return jnp.sum(sphere_conv_apply(x, k, None, 1) ** 2)
+
+    gx_r, gk_r = jax.grad(f_ref, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r), rtol=1e-4, atol=1e-4)

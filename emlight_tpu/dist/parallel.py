@@ -83,13 +83,10 @@ def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh,
                 "COS": cosine_loss(fake, real) * cfg.lambda_cos,
             }
             if vgg_apply is not None:
-                from ..nn.vgg import VGG_SLICE_WEIGHTS
+                from ..nn.vgg import vgg_perceptual_loss
 
-                ff = vgg_apply(vgg_variables, fake)
-                fr = vgg_apply(vgg_variables, real)
-                losses["VGG"] = cfg.lambda_vgg * sum(
-                    w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
-                    for w, a, b in zip(VGG_SLICE_WEIGHTS, ff, fr)
+                losses["VGG"] = cfg.lambda_vgg * vgg_perceptual_loss(
+                    vgg_apply, vgg_variables, fake, real
                 )
             return sum(losses.values()), (losses, g_mut, d_mut, fake)
 

@@ -15,10 +15,17 @@ from __future__ import annotations
 import os
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["VGG19Features", "load_vgg19_params", "export_torchvision_weights", "VGG_SLICE_WEIGHTS"]
+__all__ = [
+    "VGG19Features",
+    "load_vgg19_params",
+    "export_torchvision_weights",
+    "vgg_perceptual_loss",
+    "VGG_SLICE_WEIGHTS",
+]
 
 # torchvision vgg19.features conv layout (conv indices in the Sequential)
 _CONV_IDS = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
@@ -47,6 +54,22 @@ class VGG19Features(nn.Module):
                     x = nn.max_pool(x, (2, 2), strides=(2, 2))
             feats.append(x)
         return feats
+
+
+def vgg_perceptual_loss(vgg_apply, vgg_variables, fake, real):
+    """Slice-weighted L1 between VGG19 features of fake and real.
+
+    Real features are detached, weights 1/32..1 — the reference's VGGLoss
+    (GenProjector/models/networks/loss.py:96-110). Multiply by lambda_vgg at
+    the call site (pix2pix_model.py:120). Shared by the single-device and
+    shard_mapped generator steps so the two cannot drift.
+    """
+    ff = vgg_apply(vgg_variables, fake)
+    fr = vgg_apply(vgg_variables, real)
+    return sum(
+        w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+        for w, a, b in zip(VGG_SLICE_WEIGHTS, ff, fr)
+    )
 
 
 def load_vgg19_params(path: str | None = None):

@@ -31,7 +31,7 @@ from ..config import ProjectorConfig
 from ..losses.gan import cosine_loss, feature_matching_loss, gan_loss
 from ..nn.discriminator import MultiscaleDiscriminator
 from ..nn.spade import SPADEGenerator
-from ..nn.vgg import VGG_SLICE_WEIGHTS, VGG19Features
+from ..nn.vgg import VGG19Features, vgg_perceptual_loss
 from ..representation.splat import render_anchor_params
 
 __all__ = ["ProjectorState", "create_state", "generator_step", "discriminator_step",
@@ -96,9 +96,12 @@ def create_state(rng: jax.Array, cfg: ProjectorConfig, axis_name: str | None = N
     guide = jnp.zeros((1, env_h, env_w, 3))
     crop = jnp.zeros((1, cfg.crop_size // 2, cfg.crop_size // 2, 3))
     kg, kd = jax.random.split(rng)
-    gv = jax.jit(functools.partial(g.init, train=True))(kg, guide, crop)
-    dv = jax.jit(functools.partial(d.init, train=True))(
-        kd, jnp.zeros((2, env_h, env_w, cfg.semantic_nc + cfg.output_nc))
+    from .regression import run_init
+
+    gv = run_init(functools.partial(g.init, train=True), kg, guide, crop)
+    dv = run_init(
+        functools.partial(d.init, train=True),
+        kd, jnp.zeros((2, env_h, env_w, cfg.semantic_nc + cfg.output_nc)),
     )
     # TTUR: G lr/2, D lr*2 (pix2pix_model.py:61-68), with optional linear decay
     tx_g = optax.adam(_lr_schedule(cfg.lr / 2, cfg, steps_per_epoch), b1=cfg.beta1, b2=cfg.beta2)
@@ -180,13 +183,9 @@ def _generator_step_body(state, batch, cfg, vgg_apply, vgg_variables):
             "COS": cosine_loss(fake, real) * cfg.lambda_cos,
         }
         if vgg_apply is not None:
-            ff = vgg_apply(vgg_variables, fake)
-            fr = vgg_apply(vgg_variables, real)
-            vgg = sum(
-                w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
-                for w, a, b in zip(VGG_SLICE_WEIGHTS, ff, fr)
+            losses["VGG"] = cfg.lambda_vgg * vgg_perceptual_loss(
+                vgg_apply, vgg_variables, fake, real
             )
-            losses["VGG"] = vgg * cfg.lambda_vgg
         total = sum(losses.values())
         return total, (losses, g_mut, d_mut, fake)
 

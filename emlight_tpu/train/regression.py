@@ -22,7 +22,22 @@ from ..config import RegressionConfig
 from ..losses.sinkhorn import SamplesLoss
 from ..nn.densenet import DenseNet
 
-__all__ = ["RegressionState", "create_state", "train_step", "eval_step", "loss_fn"]
+__all__ = ["RegressionState", "create_state", "train_step", "eval_step", "loss_fn",
+           "run_init"]
+
+
+def run_init(init_fn, *args):
+    """Run a flax `Module.init` the fastest way for the current backend.
+
+    On accelerators the init is jitted: eager per-op dispatch through a
+    tunneled runtime costs ~100ms/op and init is hundreds of tiny ops. On CPU
+    the trade inverts — XLA-compiling the full init graph costs minutes for
+    the SPADE stack while eager execution takes seconds — so run it eagerly.
+    Same values either way (init math is elementwise + convs).
+    """
+    if jax.default_backend() == "cpu":
+        return init_fn(*args)
+    return jax.jit(init_fn)(*args)
 
 
 class RegressionState(flax.struct.PyTreeNode):
@@ -58,9 +73,7 @@ def make_model(cfg: RegressionConfig, axis_name: str | None = None) -> DenseNet:
 def create_state(rng: jax.Array, cfg: RegressionConfig, axis_name: str | None = None) -> RegressionState:
     model = make_model(cfg, axis_name)
     dummy = jnp.zeros((1, cfg.crop_h, cfg.crop_w, 3), dtype=jnp.float32)
-    # jit the init: eager per-op dispatch is pathologically slow on tunneled
-    # devices, and init is hundreds of tiny ops
-    variables = jax.jit(functools.partial(model.init, train=True))(rng, dummy)
+    variables = run_init(functools.partial(model.init, train=True), rng, dummy)
     tx = optax.adam(cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1])
     return RegressionState(
         step=jnp.zeros((), jnp.int32),

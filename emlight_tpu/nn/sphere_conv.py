@@ -127,25 +127,29 @@ def sphere_gather(x: jax.Array, stride: int = 1, tap: int | None = None):
 
 
 _PREFER_PALLAS = False
+_PALLAS_STRIDES: tuple[int, ...] = (1,)
 
 
 @contextlib.contextmanager
-def pallas_sphere_convs(enable: bool = True):
+def pallas_sphere_convs(enable: bool = True, strides: tuple[int, ...] = (1,)):
     """Route sphere convs through the fused Pallas kernels (TPU, ~2.4x).
 
-    Stride-1 convs dispatch to the custom-VJP path (sphere_conv_vjp) and are
-    fully differentiable — training steps can run inside this context.
-    Stride-2 convs (discriminator front layers) use the forward-only kernel,
-    which has no VJP; they fall back to the gather formulation here so
-    gradients always work, and only inference gets their fused version.
+    The custom-VJP path (sphere_conv_vjp) covers stride 1 and 2 and is fully
+    differentiable — training steps can run inside this context. `strides`
+    selects which strides dispatch to it; the default is stride 1 only:
+    measured on v5e, the stride-2 layers (discriminator front, small channel
+    counts that pad to the 128-lane tile) are faster in the XLA gather
+    formulation. Low-resolution layers always keep the gather formulation.
     """
-    global _PREFER_PALLAS
-    prev = _PREFER_PALLAS
+    global _PREFER_PALLAS, _PALLAS_STRIDES
+    prev, prev_s = _PREFER_PALLAS, _PALLAS_STRIDES
     _PREFER_PALLAS = enable
+    _PALLAS_STRIDES = tuple(strides)
     try:
         yield
     finally:
         _PREFER_PALLAS = prev
+        _PALLAS_STRIDES = prev_s
 
 
 def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
@@ -168,11 +172,11 @@ def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
         _PREFER_PALLAS
         and jax.default_backend() == "tpu"
         and x.shape[1] * x.shape[2] >= 8192
-        and stride == 1
+        and stride in _PALLAS_STRIDES
     ):
         from .sphere_conv_vjp import sphere_conv_trainable
 
-        return sphere_conv_trainable(x, kernel, bias, 1)
+        return sphere_conv_trainable(x, kernel, bias, stride)
     b, h, w, cin = x.shape
     idx, wgt, (ho, wo) = sphere_taps(h, w, stride)
     xf = x.reshape(b, h * w, cin)

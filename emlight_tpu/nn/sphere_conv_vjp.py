@@ -3,18 +3,25 @@
 Forward: the halo-DMA kernel (sphere_conv_pallas).
 Backward:
 - dx: a mirror Pallas kernel over INVERSE tables. The forward reads
-  out[i] += (Σ_k w_{itk} ⊙ roll(x[r_{itk}], -s_{itk})) @ K_t, so the
-  transpose scatters dx[r] += Σ_{(i,t,k): r_{itk}=r} roll(w ⊙ (g[i] @ K_tᵀ), +s).
+  out[i, j] += wcol[i,t,k,j] * x[rows[i,t,k], (stride*j + s[i,t,k]) mod W]
+  contracted with K_t, so the transpose scatters
+  dx[r, stride*j + s] += Σ_{(i,t,k): rows=r} wcol ⊙ (g[i] @ K_tᵀ)[j].
   The fan-in per input row is bounded (the forward's row halo is [-2, +1]),
   so the scatter becomes a fixed-size gather over (out-row, tap, neighbor)
   triples grouped per input row — no atomic scatter, XLA's weakest op here.
+  * stride 1: target col = (j + s) mod W -> one circular roll per triple.
+  * stride 2: target col = (2j + s) mod W = 2·((j + s//2) mod Wo) + (s mod 2)
+    -> roll by s//2 into an even- or odd-parity accumulator; the two parity
+    planes are interleaved into W columns OUTSIDE the kernel (one reshape).
 - dK[t] = Σ_i s_t(x)[i]ᵀ g[i]: the per-tap weighted samples contracted with
   the cotangent — computed with the XLA gather formulation (one forward-
   equivalent pass; already efficient as a batched matmul).
 - dbias = Σ g.
 
-Stride 1 only (the generator's hot path); stride-2 callers keep the
-differentiable gather formulation.
+Covers stride 1 (the generator's hot path) and stride 2 (the
+discriminator's front layers, reference stride pattern at
+GenProjector/models/networks/discriminator.py:87-99, sphere sampling at
+spherenet/sphere_cnn.py:111-124).
 """
 
 from __future__ import annotations
@@ -36,19 +43,21 @@ _MAX_FANIN = 64  # padded (i, t, k) triple count per input row (measured <= ~40)
 
 
 @functools.lru_cache(maxsize=None)
-def inverse_tables(h: int, w: int):
+def inverse_tables(h: int, w: int, stride: int = 1):
     """Group forward triples by their source row.
 
     Returns (out_rows, taps, shifts, weights, fanin):
-      out_rows (H, M) int32 — contributing output row (clamped; weight 0 pads)
+      out_rows (H, M) int32 — contributing output row (weight-0 pad slots
+               point at an in-window row, see below)
       taps     (H, M) int32
-      shifts   (H, M) int32 — roll amount (+s) applied AFTER w ⊙ u
-      weights  (H, M, W, 1) f32 — the forward's per-out-column weight vector
+      shifts   (H, M) int32 — column shift s: input col = (stride*j + s) mod W
+      weights  (H, M, Wo, 1) f32 — the forward's per-out-column weight vector
       fanin: max used M (<= _MAX_FANIN)
     """
-    rows_c, shift_c, wcol = structured_tables(h, w, 1)  # wcol (H, 9, 4, W, 1)
+    rows_c, shift_c, wcol = structured_tables(h, w, stride)
+    ho = rows_c.shape[0]
     per_row: list[list[tuple[int, int, int]]] = [[] for _ in range(h)]
-    for i in range(h):
+    for i in range(ho):
         for t in range(9):
             for k in range(4):
                 if wcol[i, t, k].any():
@@ -56,13 +65,17 @@ def inverse_tables(h: int, w: int):
     fanin = max(len(v) for v in per_row)
     assert fanin <= _MAX_FANIN, fanin
     m = fanin
+    wo = wcol.shape[3]
     # padded slots carry zero weight but MUST index inside the DMA window:
-    # point them at the row itself (row 0 would go negative after the window
-    # offset — interpret mode wraps negative indices, real hardware faults)
-    out_rows = np.repeat(np.arange(h, dtype=np.int32)[:, None], m, axis=1)
+    # point them at the row's own output row (r // stride) — out_rows outside
+    # the window would make the local index negative, and while interpret
+    # mode wraps negative indices silently, real TPU hardware faults
+    out_rows = np.repeat(
+        np.clip(np.arange(h, dtype=np.int32) // stride, 0, ho - 1)[:, None], m, axis=1
+    )
     taps = np.zeros((h, m), np.int32)
     shifts = np.zeros((h, m), np.int32)
-    weights = np.zeros((h, m, w, 1), np.float32)
+    weights = np.zeros((h, m, wo, 1), np.float32)
     for r in range(h):
         for j, (i, t, k) in enumerate(per_row[r]):
             out_rows[r, j] = i
@@ -72,8 +85,8 @@ def inverse_tables(h: int, w: int):
     return out_rows, taps, shifts, weights, fanin
 
 
-def _dx_kernel(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref, dx_ref,
-               win_ref, sems, *, br: int, w: int, win_rows: int, h: int, fanin: int):
+def _dx_kernel_s1(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref, dx_ref,
+                  win_ref, sems, *, br: int, w: int, win_rows: int, h: int, fanin: int):
     rb = pl.program_id(1)
     r0 = rb * br
     # contributing output rows lie within [r0-1, r0+br+2) (inverse halo)
@@ -101,10 +114,50 @@ def _dx_kernel(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref, dx_ref,
     jax.lax.fori_loop(0, br, row_body, 0)
 
 
-def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, block_rows: int = 8,
-               cin_block: int = 128, interpret: bool | None = None) -> jax.Array:
-    """dx from the cotangent g (B, H, W, Cout) and kernel (3,3,Cin,Cout)."""
-    b, h, w, cout = g.shape
+def _dx_kernel_s2(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref,
+                  dxe_ref, dxo_ref, win_ref, sems,
+                  *, br: int, wo: int, win_rows: int, ho: int, fanin: int):
+    rb = pl.program_id(1)
+    r0 = rb * br
+    # input rows [r0, r0+br) receive from output rows in
+    # [floor((r0-1)/2), floor((r0+br+1)/2)] — a (br/2 + 3)-row window
+    start = jnp.clip((r0 - 1) // 2, 0, ho - win_rows)
+    b_idx = pl.program_id(0)
+    dma = pltpu.make_async_copy(g_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref, sems.at[0])
+    dma.start()
+    dma.wait()
+
+    cinb = kt_ref.shape[-1]
+
+    def row_body(rr, _):
+        def contrib(m, accs):
+            acc_e, acc_o = accs
+            i_local = orow_ref[0, rr, m] - start
+            t = tap_ref[0, rr, m]
+            s = shift_ref[0, rr, m]
+            u = jnp.dot(win_ref[i_local], kt_ref[t], preferred_element_type=jnp.float32)
+            wu = wvec_ref[rr, m] * u  # (wo, cinb)
+            rolled = pltpu.roll(wu, s // 2, 0)
+            is_even = (s % 2 == 0)
+            acc_e = acc_e + jnp.where(is_even, rolled, 0.0)
+            acc_o = acc_o + jnp.where(is_even, 0.0, rolled)
+            return acc_e, acc_o
+
+        zero = jnp.zeros((wo, cinb), jnp.float32)
+        acc_e, acc_o = jax.lax.fori_loop(0, fanin, contrib, (zero, zero))
+        dxe_ref[0, rr] = acc_e
+        dxo_ref[0, rr] = acc_o
+        return 0
+
+    jax.lax.fori_loop(0, br, row_body, 0)
+
+
+def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
+               block_rows: int = 8, cin_block: int = 128,
+               interpret: bool | None = None) -> jax.Array:
+    """dx from the cotangent g (B, Ho, Wo, Cout) and kernel (3,3,Cin,Cout)."""
+    b, ho, wo, cout = g.shape
+    h, w = x_shape[1], x_shape[2]
     cin = x_shape[-1]
     pad_cin = 0
     if cin < 128:
@@ -118,60 +171,85 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, block_rows: int = 8,
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad_cin), (0, 0)))
         cin = 128
 
-    out_rows, taps, shifts, weights, fanin = inverse_tables(h, w)
+    out_rows, taps, shifts, weights, fanin = inverse_tables(h, w, stride)
     br = min(block_rows, h)
     if h % br:
         raise ValueError(f"h={h} not divisible by block_rows={br}")
     cb = min(cin_block, cin)
     if cin % cb:
         cb = cin
-    win_rows = min(br + 3, h)
+    win_rows = min(br + 3, ho) if stride == 1 else min(br // 2 + 3, ho)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     kt = jnp.transpose(kernel.reshape(9, cin, cout), (0, 2, 1))  # (9, cout, cin)
 
-    dx = pl.pallas_call(
-        functools.partial(_dx_kernel, br=br, w=w, win_rows=win_rows, h=h, fanin=fanin),
-        grid=(b, h // br, cin // cb),
-        in_specs=[
-            pl.BlockSpec((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((br, fanin, w, 1), lambda bb, rb, cb_: (rb, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # g in HBM, DMA'd
-            pl.BlockSpec((9, cout, cb), lambda bb, rb, cb_: (0, 0, cb_),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, br, w, cb), lambda bb, rb, cb_: (bb, rb, 0, cb_),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cin), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((win_rows, w, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(
+    smem = lambda blk, ix: pl.BlockSpec(blk, ix, memory_space=pltpu.SMEM)
+    in_specs = [
+        smem((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0)),
+        smem((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0)),
+        smem((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0)),
+        pl.BlockSpec((br, fanin, wo, 1), lambda bb, rb, cb_: (rb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # g in HBM, DMA'd
+        pl.BlockSpec((9, cout, cb), lambda bb, rb, cb_: (0, 0, cb_),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = (
         jnp.asarray(out_rows)[None], jnp.asarray(taps)[None],
         jnp.asarray(shifts)[None], jnp.asarray(weights),
         g.astype(jnp.float32), kt.astype(jnp.float32),
     )
+    scratch = [
+        pltpu.VMEM((win_rows, wo, cout), jnp.float32),
+        pltpu.SemaphoreType.DMA((1,)),
+    ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    grid = (b, h // br, cin // cb)
+
+    if stride == 1:
+        dx = pl.pallas_call(
+            functools.partial(
+                _dx_kernel_s1, br=br, w=wo, win_rows=win_rows, h=ho, fanin=fanin
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, br, wo, cb), lambda bb, rb, cb_: (bb, rb, 0, cb_),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, h, wo, cin), jnp.float32),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(*args)
+    else:
+        # two parity planes (even/odd target columns), interleaved below
+        out_spec = pl.BlockSpec((1, br, wo, cb), lambda bb, rb, cb_: (bb, rb, 0, cb_),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h, wo, cin), jnp.float32)
+        dx_e, dx_o = pl.pallas_call(
+            functools.partial(
+                _dx_kernel_s2, br=br, wo=wo, win_rows=win_rows, ho=ho, fanin=fanin
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(out_spec, out_spec),
+            out_shape=(out_shape, out_shape),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(*args)
+        dx = jnp.stack((dx_e, dx_o), axis=-2).reshape(b, h, w, cin)
     if pad_cin:
         dx = dx[..., : cin - pad_cin]
     return dx
 
 
-def _dk_gather(x: jax.Array, g: jax.Array, cout: int) -> jax.Array:
+def _dk_gather(x: jax.Array, g: jax.Array, cout: int, stride: int = 1) -> jax.Array:
     """dK via the XLA gather formulation: dK[t] = Σ sampled_tᵀ g."""
     b, h, w, cin = x.shape
-    idx, wgt, _ = sphere_taps(h, w, 1)
+    idx, wgt, (ho, wo) = sphere_taps(h, w, stride)
     xf = x.reshape(b, h * w, cin)
-    gf = g.reshape(b, h * w, cout)
+    gf = g.reshape(b, ho * wo, cout)
     idx_t = jnp.asarray(idx.transpose(1, 0, 2))
     wgt_t = jnp.asarray(wgt.transpose(1, 0, 2))
 
@@ -189,7 +267,7 @@ def _dk_gather(x: jax.Array, g: jax.Array, cout: int) -> jax.Array:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def sphere_conv_trainable(x, kernel, bias, stride: int = 1):
-    """Sphere conv with Pallas forward AND Pallas dx backward (stride 1)."""
+    """Sphere conv with Pallas forward AND Pallas dx backward (stride 1/2)."""
     return sphere_conv_pallas(x, kernel, bias, stride)
 
 
@@ -198,10 +276,10 @@ def _fwd(x, kernel, bias, stride):
 
 
 def _bwd(stride, res, g):
-    assert stride == 1, "trainable pallas path is stride-1 only"
+    assert stride in (1, 2), "trainable pallas path covers stride 1 and 2"
     x, kernel, has_bias = res
-    dx = _dx_pallas(g, kernel, x.shape)
-    dk = _dk_gather(x, g, g.shape[-1])
+    dx = _dx_pallas(g, kernel, x.shape, stride)
+    dk = _dk_gather(x, g, g.shape[-1], stride)
     db = g.sum(axis=(0, 1, 2)) if has_bias else None
     return dx, dk, db
 

@@ -3,20 +3,26 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from emlight_tpu.nn.sphere_conv import sphere_conv_apply
 from emlight_tpu.nn.sphere_conv_vjp import inverse_tables, sphere_conv_trainable
 
 
-def test_inverse_tables_cover_all_triples():
+@pytest.mark.parametrize("stride", (1, 2))
+def test_inverse_tables_cover_all_triples(stride):
     from emlight_tpu.nn.sphere_conv_pallas import structured_tables
 
     h, w = 16, 32
-    rows_c, _, wcol = structured_tables(h, w, 1)
-    out_rows, taps, shifts, weights, fanin = inverse_tables(h, w)
+    rows_c, _, wcol = structured_tables(h, w, stride)
+    out_rows, taps, shifts, weights, fanin = inverse_tables(h, w, stride)
     # every nonzero forward triple appears exactly once in the inverse tables
     n_fwd = sum(
-        1 for i in range(h) for t in range(9) for k in range(4) if wcol[i, t, k].any()
+        1
+        for i in range(h // stride)
+        for t in range(9)
+        for k in range(4)
+        if wcol[i, t, k].any()
     )
     n_inv = sum(
         1 for r in range(h) for m in range(fanin) if weights[r, m].any()
@@ -25,19 +31,22 @@ def test_inverse_tables_cover_all_triples():
     assert fanin <= 64
 
 
-def test_vjp_matches_gather_autodiff():
+@pytest.mark.parametrize("stride", (1, 2))
+def test_vjp_matches_gather_autodiff(stride):
     rng = np.random.default_rng(0)
     b, h, w, cin, cout = 2, 16, 32, 8, 8
     x = jnp.asarray(rng.random((b, h, w, cin), dtype=np.float32))
     k = jnp.asarray(rng.normal(0, 0.2, (3, 3, cin, cout)).astype(np.float32))
     bias = jnp.asarray(rng.normal(0, 0.1, cout).astype(np.float32))
-    tgt = jnp.asarray(rng.random((b, h, w, cout), dtype=np.float32))
+    tgt = jnp.asarray(
+        rng.random((b, h // stride, w // stride, cout), dtype=np.float32)
+    )
 
     def loss_ref(x, k, bias):
-        return jnp.sum((sphere_conv_apply(x, k, bias, 1) - tgt) ** 2)
+        return jnp.sum((sphere_conv_apply(x, k, bias, stride) - tgt) ** 2)
 
     def loss_new(x, k, bias):
-        return jnp.sum((sphere_conv_trainable(x, k, bias, 1) - tgt) ** 2)
+        return jnp.sum((sphere_conv_trainable(x, k, bias, stride) - tgt) ** 2)
 
     v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(x, k, bias)
     v_new, g_new = jax.value_and_grad(loss_new, argnums=(0, 1, 2))(x, k, bias)

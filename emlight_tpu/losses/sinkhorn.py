@@ -276,7 +276,7 @@ class SamplesLoss:
         batchsize: int | None = None,
         n_anchors: int = 96,
         n_iters: int = 12,
-        backend: str = "jnp",
+        backend: str = "auto",
         geometry=None,
         axis_name: str | None = None,
     ):
@@ -293,6 +293,11 @@ class SamplesLoss:
             self.M = jnp.asarray(geometric_cost_matrix(n_anchors, geometry))
         else:
             self.M = jnp.asarray(anchor_cost_matrix(n_anchors))
+        if backend == "auto":
+            # the fused loop kernel wins on TPU (one VMEM-resident ε-schedule
+            # loop vs n_iters separate logsumexp dispatches); everywhere else
+            # XLA's native lowering is the right call
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
         if backend == "pallas":
             from .sinkhorn_pallas import pallas_sinkhorn_loop
 

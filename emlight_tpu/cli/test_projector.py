@@ -26,8 +26,17 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--crop_size", type=int, default=256)
     ap.add_argument("--ngf", type=int, default=64)
+    ap.add_argument("--ndf", type=int, default=64,
+                    help="must match training (the checkpoint holds D too)")
     ap.add_argument("--anchors", type=int, default=128)
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--load_config", default=None,
+                    help="the train run's opt.json (or run dir): model-shape "
+                         "flags become defaults so the checkpoint fits")
+
+    from ..train.config_io import apply_saved_defaults
+
+    apply_saved_defaults(ap, argv, exclude=("out_dir",))
     args = ap.parse_args(argv)
 
     import jax
@@ -43,7 +52,7 @@ def main(argv=None):
     env_h, env_w = args.crop_size // 2, args.crop_size
     cfg = dataclasses.replace(
         ProjectorConfig(),
-        crop_size=args.crop_size, ngf=args.ngf,
+        crop_size=args.crop_size, ngf=args.ngf, ndf=args.ndf,
         anchors=AnchorConfig(n_anchors=args.anchors, env_h=env_h, env_w=env_w),
     )
     state = P.create_state(jax.random.PRNGKey(0), cfg)

@@ -31,6 +31,13 @@ def main(argv=None):
     ap.add_argument("--render", action="store_true", help="also dump env-map previews")
     ap.add_argument("--block_config", default="16,16,16")
     ap.add_argument("--crop", default="192,256")
+    ap.add_argument("--load_config", default=None,
+                    help="a train run's opt.json (or run dir): model-shape "
+                         "flags become defaults so the checkpoint fits")
+
+    from ..train.config_io import apply_saved_defaults
+
+    apply_saved_defaults(ap, argv, exclude=("out_dir",))
     args = ap.parse_args(argv)
 
     import jax

@@ -40,7 +40,16 @@ def main(argv=None):
     ap.add_argument("--parallel", action="store_true")
     ap.add_argument("--display_every", type=int, default=100)
     ap.add_argument("--save_every", type=int, default=500)
+    ap.add_argument("--load_config", default=None,
+                    help="opt.json (or run dir) whose flags become defaults; "
+                         "--resume picks up {out_dir}/opt.json automatically")
+
+    from ..train.config_io import apply_saved_defaults, report_overrides, save_run_config
+
+    saved = apply_saved_defaults(ap, argv)
     args = ap.parse_args(argv)
+    report_overrides(saved, args)
+    save_run_config(args.out_dir, args)
 
     import jax
 

@@ -33,7 +33,8 @@ def main(argv=None):
     ap.add_argument("--parallel", action="store_true", help="data-parallel over all devices")
     ap.add_argument("--summary_every", type=int, default=100)
     ap.add_argument("--save_every", type=int, default=500)
-    ap.add_argument("--sinkhorn_backend", choices=("jnp", "pallas"), default="jnp")
+    ap.add_argument("--sinkhorn_backend", choices=("auto", "jnp", "pallas"), default="auto",
+                    help="auto = fused Pallas loop on TPU, XLA elsewhere")
     ap.add_argument("--profile_dir", default=None)
     ap.add_argument("--block_config", default="16,16,16",
                     help="DenseNet blocks, e.g. '2,2' for smoke runs")
@@ -42,7 +43,16 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize dense layers; with --dtype bfloat16 "
                          "enables full-size bs16 training on one 16GB chip")
+    ap.add_argument("--load_config", default=None,
+                    help="opt.json (or run dir) whose flags become defaults; "
+                         "--resume picks up {out_dir}/opt.json automatically")
+
+    from ..train.config_io import apply_saved_defaults, report_overrides, save_run_config
+
+    saved = apply_saved_defaults(ap, argv)
     args = ap.parse_args(argv)
+    report_overrides(saved, args)
+    save_run_config(args.out_dir, args)
 
     import jax
 

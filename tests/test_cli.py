@@ -76,6 +76,64 @@ def test_train_and_test_regression_cli(laval_root, tmp_path):
     assert any(f.endswith("_env.png") for f in os.listdir(res))
 
 
+def test_train_and_test_projector_cli(laval_root, tmp_path):
+    """GAN stage end-to-end: train -> checkpoint -> resume (config snapshot
+    reloaded automatically) -> inference writes .exr + .jpg (the reference's
+    GenProjector/train.py:26-69 + test.py:17-40 surface)."""
+    import json
+
+    from emlight_tpu.cli.test_projector import main as test_main
+    from emlight_tpu.cli.train_projector import main as train_main
+
+    if not (laval_root / "pkl").exists():
+        test_extract_distribution_cli(laval_root)
+
+    out = tmp_path / "gan"
+    train_main([
+        "--data_root", str(laval_root), "--out_dir", str(out),
+        "--batch_size", "2", "--ngf", "8", "--ndf", "8",
+        "--crop_size", "64", "--anchors", "96",
+        "--display_every", "1", "--save_every", "2", "--epochs", "1",
+    ])
+    ckpt = out / "checkpoints" / "latest.msgpack"
+    assert ckpt.exists()
+    assert (out / "metrics.csv").exists()
+    assert any((out / "web").iterdir())  # tonemapped real|fake dumps
+    # config snapshot (reference's opt.txt/opt.pkl, base_options.py:122-146)
+    opt = json.loads((out / "opt.json").read_text())
+    assert opt["ngf"] == 8 and opt["crop_size"] == 64
+    assert (out / "opt.txt").exists()
+
+    # resume WITHOUT re-passing shape flags: opt.json supplies them, so a
+    # template mismatch is impossible by default
+    train_main(["--out_dir", str(out), "--resume", "--epochs", "2"])
+    with open(out / "iter.json") as f:
+        assert json.load(f)["step"] >= 4  # 2 steps/epoch x 2 epochs
+
+    res = tmp_path / "res_projector"
+    test_main([
+        "--ckpt", str(ckpt), "--data_root", str(laval_root),
+        "--out_dir", str(res), "--load_config", str(out), "--batch", "2",
+    ])
+    assert len(list(res.glob("*.exr"))) == 4
+    assert len(list(res.glob("*.jpg"))) == 4
+
+
+def test_train_projector_cli_parallel(tmp_path):
+    """--parallel on the virtual 8-device mesh (synthetic data)."""
+    from emlight_tpu.cli.train_projector import main as train_main
+
+    out = tmp_path / "gan_par"
+    train_main([
+        "--synthetic", "8", "--out_dir", str(out), "--parallel",
+        "--batch_size", "8", "--ngf", "4", "--ndf", "4",
+        "--crop_size", "64", "--anchors", "16",
+        "--display_every", "0", "--save_every", "0", "--epochs", "1",
+    ])
+    assert (out / "checkpoints" / "latest.msgpack").exists()
+    assert (out / "metrics.csv").exists()
+
+
 def test_needlets_gt_cli(laval_root, tmp_path):
     from emlight_tpu.cli.needlets_gt import main
 

@@ -4,6 +4,12 @@ distribution_representation.py:123-147, minus the hardcoded /home paths).
 Batches panoramas onto the device and runs the one-matmul extractor
 (representation/extract.py) — the >=10x preprocessing-throughput target.
 
+Fully pipelined: a background thread decodes batch i+2 (threaded C++ EXR
+loader when built), the host->device transfer of batch i+1 is enqueued and
+extraction dispatched BEFORE the results of batch i are fetched, and pickle
+writes happen on a writer thread — decode, PCIe transfer, device compute and
+host serialization all overlap.
+
 Usage:
   python -m emlight_tpu.cli.extract_distribution --hdr_dir .../warpedHDROutputs \
       --out_dir .../pkl [--anchors 128] [--batch 16] [--preview_dir tmp/]
@@ -30,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--preview_dir", default=None, help="optional splat-render previews")
     args = ap.parse_args(argv)
 
+    import queue
+    import threading
+
+    import jax
     import jax.numpy as jnp
 
     from ..core.hdr import TONEMAP_VIZ, read_hdr, resize_panorama
@@ -52,42 +62,18 @@ def main(argv=None):
                 imgs, _ = native.load_batch(
                     [os.path.join(args.hdr_dir, nm) for nm in chunk], (h, w)
                 )
-                for nm, img in zip(chunk, imgs):
-                    yield nm, img
+                yield chunk, imgs
     else:
         def loader():
-            for nm in names:
-                img = read_hdr(os.path.join(args.hdr_dir, nm))
-                if img.shape[:2] != (h, w):
-                    img = resize_panorama(img, (w, h))
-                yield nm, img.astype(np.float32)
-
-    t0 = time.perf_counter()
-    done = 0
-    batch_names: list[str] = []
-    batch_imgs: list[np.ndarray] = []
-
-    def flush():
-        nonlocal done
-        if not batch_imgs:
-            return
-        out = extract_anchors_batch(jnp.stack([jnp.asarray(x) for x in batch_imgs]),
-                                    n=args.anchors)
-        out = {k: np.asarray(v) for k, v in out.items()}
-        for i, nm in enumerate(batch_names):
-            para = {
-                "distribution": out["distribution"][i],
-                "intensity": np.asarray(out["intensity"][i]),
-                "rgb_ratio": out["rgb_ratio"][i],
-                "ambient": out["ambient"][i],
-            }
-            with open(os.path.join(args.out_dir, nm.replace(".exr", ".pickle")), "wb") as f:
-                pickle.dump(para, f, protocol=pickle.HIGHEST_PROTOCOL)
-            if args.preview_dir:
-                _preview(para, args, nm)
-        done += len(batch_names)
-        batch_names.clear()
-        batch_imgs.clear()
+            for s in range(0, len(names), args.batch):
+                chunk = names[s : s + args.batch]
+                imgs = []
+                for nm in chunk:
+                    img = read_hdr(os.path.join(args.hdr_dir, nm))
+                    if img.shape[:2] != (h, w):
+                        img = resize_panorama(img, (w, h))
+                    imgs.append(img.astype(np.float32))
+                yield chunk, np.stack(imgs)
 
     def _preview(para, args, nm):
         from PIL import Image
@@ -104,12 +90,57 @@ def main(argv=None):
             os.path.join(args.preview_dir, nm.replace(".exr", "_rec.png"))
         )
 
-    for nm, img in prefetch(loader(), depth=4):
-        batch_names.append(nm)
-        batch_imgs.append(img)
-        if len(batch_imgs) == args.batch:
-            flush()
-    flush()
+    # pickle serialization off the dispatch thread
+    wq: queue.Queue = queue.Queue(maxsize=8)
+    done = 0
+    werr: list[BaseException] = []
+
+    def writer():
+        nonlocal done
+        while True:
+            item = wq.get()
+            if item is None:
+                return
+            if werr:  # previous item failed: drain without writing
+                continue
+            chunk, out = item
+            try:
+                for i, nm in enumerate(chunk):
+                    para = {
+                        "distribution": out["distribution"][i],
+                        "intensity": np.asarray(out["intensity"][i]),
+                        "rgb_ratio": out["rgb_ratio"][i],
+                        "ambient": out["ambient"][i],
+                    }
+                    with open(
+                        os.path.join(args.out_dir, nm.replace(".exr", ".pickle")), "wb"
+                    ) as f:
+                        pickle.dump(para, f, protocol=pickle.HIGHEST_PROTOCOL)
+                    if args.preview_dir:
+                        _preview(para, args, nm)
+                done += len(chunk)
+            except BaseException as e:  # noqa: BLE001 - reraised on main thread
+                werr.append(e)
+
+    wthread = threading.Thread(target=writer, daemon=True)
+    wthread.start()
+
+    t0 = time.perf_counter()
+    pending = None  # (chunk, device outputs) — fetched one batch behind
+    for chunk, imgs in prefetch(loader(), depth=4):
+        dev = jax.device_put(imgs)  # async transfer overlaps pending compute
+        out = extract_anchors_batch(dev, n=args.anchors)  # async dispatch
+        if pending is not None:
+            pchunk, pout = pending
+            wq.put((pchunk, {k: np.asarray(v) for k, v in pout.items()}))
+        pending = (chunk, out)
+    if pending is not None:
+        pchunk, pout = pending
+        wq.put((pchunk, {k: np.asarray(v) for k, v in pout.items()}))
+    wq.put(None)
+    wthread.join()
+    if werr:
+        raise werr[0]
     dt = time.perf_counter() - t0
     print(f"extracted {done} panoramas in {dt:.2f}s ({done / max(dt, 1e-9):.1f} panoramas/sec)")
 

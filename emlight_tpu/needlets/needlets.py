@@ -37,6 +37,7 @@ __all__ = [
     "cubature_pairing",
     "sh_to_needlet_matrix",
     "band_slices",
+    "spherical_sampling",
 ]
 
 
@@ -186,3 +187,20 @@ def _cubature_angles(nside: int):
     from .healpix import pix2ang
 
     return pix2ang(nside, np.arange(nside2npix(nside)))
+
+
+def spherical_sampling(jmax: int = 2, b: float = 2.0, n_samples: int = 64,
+                       k: int = 3) -> np.ndarray:
+    """k nearest top-band cubature pixel ids per golden-spiral sample point.
+
+    Vectorized equivalent of Needlets/utils.py:205-227 (which loops a
+    per-point O(Npix) distance scan): Nside = 2^ceil(log2(floor(B^(jmax+1))/2)),
+    returns (n_samples, k) int ids into the HEALPix RING pixelization.
+    """
+    from ..core.geometry import sphere_points
+
+    nside = 2 ** math.ceil(math.log2(math.floor(b ** (jmax + 1)) / 2))
+    dirs = pix2vec(nside, np.arange(nside2npix(nside)))  # (Npix, 3)
+    pts = sphere_points(n_samples)  # (n_samples, 3)
+    d2 = ((pts[:, None, :] - dirs[None]) ** 2).sum(-1)
+    return np.argsort(d2, axis=1)[:, :k].astype(np.int64)

@@ -19,12 +19,19 @@ import numpy as np
 
 from ..core.geometry import (
     INTENSITY_WEIGHTS_GT,
+    icosphere,
     nearest_anchor_index,
+    polar_to_cartesian,
     rgb_to_intensity,
     steradian_map,
 )
 
-__all__ = ["extract_anchors", "extract_anchors_batch", "AnchorExtractor"]
+__all__ = [
+    "extract_anchors",
+    "extract_anchors_batch",
+    "extract_light_info_legacy",
+    "AnchorExtractor",
+]
 
 
 @functools.lru_cache(maxsize=None)
@@ -89,6 +96,62 @@ def extract_anchors_batch(hdrs: jax.Array, n: int = 128, light_threshold: float 
     assign = jnp.asarray(_assignment_matrix(h, w, n))
     ster = jnp.asarray(steradian_map(h, w, multiply=False))
     return jax.vmap(lambda x: _extract(x, assign, ster, light_threshold))(hdrs)
+
+
+@functools.lru_cache(maxsize=None)
+def _legacy_assignment_matrix(h: int, w: int) -> np.ndarray:
+    """One-hot pixel->anchor map for the 42-vertex icosahedron anchors.
+
+    The legacy tool (intensity_modify.py:84-100) uses UNSHIFTED lattice
+    coordinates (phi = j/w*2pi, theta = i/h*pi — no half-pixel offset, unlike
+    extract_mesh) and icosahedron(subdivide=1) vertices. Vertex ORDER follows
+    core.geometry.icosphere, not VTK's internal subdivision order; the set of
+    directions is identical.
+    """
+    verts, _ = icosphere(1)  # 42 vertices (util.py:257-282)
+    i, j = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    xyz = polar_to_cartesian(
+        (j / w * 2 * np.pi).reshape(-1), (i / h * np.pi).reshape(-1)
+    )
+    d2 = ((xyz[:, None, :] - verts[None]) ** 2).sum(-1)
+    idx = d2.argmin(-1)
+    m = np.zeros((h * w, len(verts)), np.float32)
+    m[np.arange(h * w), idx] = 1.0
+    return m
+
+
+@jax.jit
+def extract_light_info_legacy(hdr: jax.Array) -> dict:
+    """Legacy 42-anchor icosahedron extraction (intensity_modify.py:70-120).
+
+    Semantics differ from extract_anchors: no light/ambient split (every
+    pixel contributes), rgb_ratio SUMS to 1 (not unit-norm), and
+    intensity = total_luma / luma(rgb_ratio). Vectorized into one MXU matmul
+    like the main extractor.
+    """
+    h, w, _ = hdr.shape
+    assign = jnp.asarray(_legacy_assignment_matrix(h, w))
+    ster = jnp.asarray(steradian_map(h, w, multiply=False))
+    whdr = hdr * ster[..., None]
+    rgbs = (
+        jnp.einsum(
+            "pc,pn->nc",
+            whdr.reshape(h * w, 3),
+            assign,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + 1e-9  # intensity_modify.py:105
+    )
+    tmp = rgbs.sum(axis=0)
+    rgb_ratio = tmp / tmp.sum()
+    total_energy = rgb_to_intensity(tmp, INTENSITY_WEIGHTS_GT, xp=jnp)
+    anchors_energy = rgb_to_intensity(rgbs, INTENSITY_WEIGHTS_GT, xp=jnp)
+    return {
+        "distribution": anchors_energy / total_energy,
+        "rgb_ratio": rgb_ratio,
+        "intensity": total_energy / rgb_to_intensity(rgb_ratio, INTENSITY_WEIGHTS_GT, xp=jnp),
+    }
 
 
 class AnchorExtractor:

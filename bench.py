@@ -24,6 +24,36 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/emlight_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
+# bf16 matmul peak FLOP/s per chip, by jax device_kind. MFU is reported
+# against the bf16 MXU ceiling regardless of compute dtype — it answers
+# "distance to the hardware roofline", not "distance to a dtype-matched peak".
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # Trillium / v6e
+}
+
+
+def _peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    return _PEAK_FLOPS.get(kind, 197e12), kind
+
+
+def _compiled_flops(jitted, *args):
+    """FLOPs of one call from XLA's compiled cost analysis (None if opaque)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
 def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
     # throughput saturates at batch 128 on v5e (64 -> 175 img/s, 128 -> 292)
     import jax
@@ -80,6 +110,12 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
     dt = time.perf_counter() - t0
     throughput = batch_size * iters / dt
 
+    # MFU: FLOPs of one forward (cost analysis of the single-step jit) over
+    # measured step time, against the chip's bf16 MXU peak
+    step_flops = _compiled_flops(fn, state.params, state.batch_stats, crop)
+    peak, _kind = _peak_flops()
+    mfu = (step_flops * iters / dt) / peak * 100 if step_flops else None
+
     # per-image latency, batch 1, on-device (tunnel RTT excluded)
     crop1 = crop[:1]
     run1 = make_loop(50)
@@ -87,7 +123,7 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
     t0 = time.perf_counter()
     float(run1(state.params, state.batch_stats, crop1))
     p50_ms = (time.perf_counter() - t0) / 50 * 1000
-    return throughput, p50_ms
+    return throughput, p50_ms, mfu
 
 
 def bench_torch_reference(batch_size: int = 4, iters: int = 5):
@@ -189,8 +225,109 @@ def bench_gt_extraction(batch: int = 64, reps: int = 20):
     return rate, ref_rate
 
 
+def bench_gan(batch_size: int = 8, steps: int = 6):
+    """GAN train-step (G and D) and generator-synthesis times at flagship
+    size (128x256 env maps, ngf=ndf=64, the train_laval.sh architecture),
+    measured as on-device scans of the real jitted step bodies with the fused
+    Pallas sphere-conv path on. Returns (g_ms, d_ms, synth_ms, mfu_dict)."""
+    import jax
+    import jax.numpy as jnp
+
+    from emlight_tpu.config import ProjectorConfig
+    from emlight_tpu.nn.sphere_conv import pallas_sphere_convs
+    from emlight_tpu.train import projector as P
+    from emlight_tpu.train.data import synthetic_projector_batch
+
+    cfg = dataclasses.replace(ProjectorConfig(), batch_size=batch_size, use_vgg_loss=False)
+    state = P.create_state(jax.random.PRNGKey(0), cfg)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_projector_batch(
+            batch_size, n_anchors=cfg.anchors.n_anchors,
+            crop_size=cfg.crop_size // 2, env_hw=(cfg.crop_size // 2, cfg.crop_size),
+        ).items()
+    }
+    use_pallas = jax.devices()[0].platform == "tpu"
+
+    def scan_steps(body_out_state):
+        def run_n(st, b):
+            with pallas_sphere_convs(use_pallas):
+                def body(carry, _):
+                    st2, metric = body_out_state(carry, b)
+                    return st2, metric
+                st, metrics = jax.lax.scan(body, st, None, length=steps)
+            return st, metrics
+        return run_n
+
+    def g_body(st, b):
+        st2, losses, _fake = P._generator_step_body(st, b, cfg, None, None)
+        return st2, losses["loss_G"]
+
+    def d_body(st, b):
+        st2, metrics = P._discriminator_step_body(st, b, cfg)
+        return st2, metrics["loss_D"]
+
+    # eval-mode synthesis (GenProjector/test.py path), scanned on device
+    from emlight_tpu.train.projector import make_guide
+
+    def run_synth(st, b):
+        with pallas_sphere_convs(use_pallas):
+            guide = make_guide(b, cfg)
+            variables = {"params": st.g_params, **st.g_stats}
+
+            def body(acc, _):
+                fake = st.g_apply(variables, guide + acc * 1e-30, b["crop"], train=False)
+                return acc + jnp.sum(fake), None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=steps)
+        return total
+
+    # XLA's compiled cost analysis reports 0 FLOPs inside lax.scan bodies and
+    # Pallas kernels (both carry the hot ops here), so per-step conv FLOPs are
+    # counted exactly at trace time instead (jax.eval_shape: no compile). The
+    # scan body traces once -> the count is one step's forward conv FLOPs.
+    from emlight_tpu.nn.sphere_conv import count_conv_flops
+
+    def fwd_conv_flops(fn):
+        with count_conv_flops() as flops:
+            jax.eval_shape(fn, state, batch)
+        return flops()
+
+    def time_exec(fn, fetch):
+        # compile EXACTLY once (remote compiles cost minutes) and reuse
+        compiled = jax.jit(fn).lower(state, batch).compile()
+        out = compiled(state, batch)
+        float(fetch(out))  # fetch barrier (tunnel-safe completion)
+        t0 = time.perf_counter()
+        out = compiled(state, batch)
+        float(fetch(out))
+        return (time.perf_counter() - t0) / steps * 1000
+
+    peak, _kind = _peak_flops()
+    g_fwd = fwd_conv_flops(run_synth)  # one eval-mode G forward
+    # g_step backprops through G and D (fwd:bwd ~1:2 -> x3 on everything);
+    # d_step's G forward is detached, so only the D part costs x3
+    step_flops = {
+        "g_step": 3.0 * fwd_conv_flops(scan_steps(g_body)),
+        "d_step": 3.0 * fwd_conv_flops(scan_steps(d_body)) - 2.0 * g_fwd,
+        "synthesis": g_fwd,
+    }
+    mfu = {}
+    results = {}
+    for name, fn, fetch in (
+        ("g_step", scan_steps(g_body), lambda o: o[1][-1]),
+        ("d_step", scan_steps(d_body), lambda o: o[1][-1]),
+        ("synthesis", run_synth, lambda o: o),
+    ):
+        ms = time_exec(fn, fetch)
+        results[name] = ms
+        if step_flops[name]:
+            mfu[name] = round(step_flops[name] / (ms / 1000) / peak * 100, 1)
+    return results["g_step"], results["d_step"], results["synthesis"], mfu
+
+
 def main():
-    throughput, p50_ms = bench_tpu()
+    throughput, p50_ms, mfu = bench_tpu()
     try:
         ref = bench_torch_reference()
     except Exception:
@@ -199,17 +336,32 @@ def main():
         gt_rate, gt_ref = bench_gt_extraction()
     except Exception:
         gt_rate = gt_ref = None
+    gan = None
+    if os.environ.get("EMLIGHT_BENCH_GAN", "1") != "0":
+        try:
+            gan = bench_gan()
+        except Exception as e:
+            print(f"# bench_gan failed: {e!r}", file=sys.stderr)
     result = {
         "metric": "images/sec/chip (crop->128-anchor regression + env-map recon)",
         "value": round(throughput, 2),
         "unit": "images/sec",
         "vs_baseline": round(throughput / ref, 2) if ref else None,
         "p50_latency_ms_bs1": round(p50_ms, 2),
+        "mfu_pct": round(mfu, 2) if mfu else None,
         "baseline_note": "baseline = reference-equivalent torch pipeline on host CPU (no GPU/published numbers exist)",
         "baseline_images_per_sec": round(ref, 3) if ref else None,
         "gt_extraction_panoramas_per_sec": round(gt_rate, 1) if gt_rate else None,
         "gt_extraction_vs_reference_numpy": round(gt_rate / gt_ref, 1) if gt_rate else None,
     }
+    if gan is not None:
+        g_ms, d_ms, synth_ms, gan_mfu = gan
+        result.update(
+            gan_g_step_ms_bs8=round(g_ms, 1),
+            gan_d_step_ms_bs8=round(d_ms, 1),
+            gan_synthesis_ms_bs8=round(synth_ms, 1),
+            gan_mfu_pct=gan_mfu or None,
+        )
     print(json.dumps(result))
 
 

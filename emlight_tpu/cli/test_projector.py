@@ -29,6 +29,8 @@ def main(argv=None):
     ap.add_argument("--ndf", type=int, default=64,
                     help="must match training (the checkpoint holds D too)")
     ap.add_argument("--anchors", type=int, default=128)
+    ap.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"),
+                    help="bfloat16: conv compute in bf16 (f32 accumulation)")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--load_config", default=None,
                     help="the train run's opt.json (or run dir): model-shape "
@@ -52,7 +54,7 @@ def main(argv=None):
     env_h, env_w = args.crop_size // 2, args.crop_size
     cfg = dataclasses.replace(
         ProjectorConfig(),
-        crop_size=args.crop_size, ngf=args.ngf, ndf=args.ndf,
+        crop_size=args.crop_size, ngf=args.ngf, ndf=args.ndf, dtype=args.dtype,
         anchors=AnchorConfig(n_anchors=args.anchors, env_h=env_h, env_w=env_w),
     )
     state = P.create_state(jax.random.PRNGKey(0), cfg)

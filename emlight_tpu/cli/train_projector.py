@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--gan_mode", default="hinge", choices=("hinge", "ls", "original", "w"))
     ap.add_argument("--d_steps_per_g", type=int, default=1)
+    ap.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"),
+                    help="bfloat16: conv compute in bf16 (f32 accumulation/params)")
     ap.add_argument("--vgg_npz", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--parallel", action="store_true")
@@ -72,7 +74,7 @@ def main(argv=None):
         ProjectorConfig(),
         crop_size=args.crop_size, ngf=args.ngf, ndf=args.ndf,
         batch_size=args.batch_size, lr=args.lr, gan_mode=args.gan_mode,
-        d_steps_per_g=args.d_steps_per_g,
+        d_steps_per_g=args.d_steps_per_g, dtype=args.dtype,
         anchors=AnchorConfig(n_anchors=args.anchors, env_h=env_h, env_w=env_w),
     )
 
@@ -99,7 +101,10 @@ def main(argv=None):
         mesh = make_mesh()
         state = P.create_state(jax.random.PRNGKey(0), cfg, axis_name=DATA_AXIS,
                                steps_per_epoch=steps_per_epoch)
-        g_step, d_step = make_parallel_projector_steps(cfg, mesh, vgg_apply, vgg_variables)
+        g_step, d_step = make_parallel_projector_steps(
+            cfg, mesh, vgg_apply, vgg_variables,
+            use_pallas=jax.default_backend() == "tpu",
+        )
         g_fn = lambda s, b: g_step(s, b)
         d_fn = lambda s, b: d_step(s, b)
     else:

@@ -81,6 +81,9 @@ class ProjectorConfig:
     norm_g: str = "spectralspadesyncbatch3x3"
     use_vgg_loss: bool = True
     d_steps_per_g: int = 1
+    # "bfloat16": conv gathers/matmuls in bf16 with f32 accumulation (MXU
+    # native on TPU); params, norms, losses, and optimizer stay f32
+    dtype: str = "float32"
     # linear lr decay after niter epochs over niter_decay epochs
     # (train_laval.sh:5-6: 100+100; model_trainer.py:68-88)
     niter: int = 100

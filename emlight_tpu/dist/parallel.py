@@ -57,15 +57,21 @@ def make_parallel_regression_step(cfg: RegressionConfig, mesh: Mesh):
 
 
 def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh,
-                                  vgg_apply=None, vgg_variables=None):
+                                  vgg_apply=None, vgg_variables=None,
+                                  use_pallas: bool = False):
     """Returns (g_step, d_step) shard_mapped over the data axis.
 
     State from proj.create_state(rng, cfg, axis_name=DATA_AXIS). The fake image
     returned by g_step stays sharded over the data axis. vgg_apply/variables
-    enable the perceptual term exactly as in the single-device step.
+    enable the perceptual term exactly as in the single-device step; use_pallas
+    and cfg.dtype select the same kernel/precision paths (proj.compute_ctx).
     """
 
     def g_core(state, batch):
+        with proj.compute_ctx(cfg, use_pallas):
+            return _g_core(state, batch)
+
+    def _g_core(state, batch):
         guide = proj.make_guide(batch, cfg)
         crop, real = batch["crop"], batch["warped"]
         light_map = batch["map"][..., None]
@@ -107,6 +113,10 @@ def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh,
         return state, losses, fake
 
     def d_core(state, batch):
+        with proj.compute_ctx(cfg, use_pallas):
+            return _d_core(state, batch)
+
+    def _d_core(state, batch):
         guide = proj.make_guide(batch, cfg)
         crop, real = batch["crop"], batch["warped"]
         fake, g_mut = proj._run_g(state, state.g_params, guide, crop, True)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .layers import instance_norm, resize_bilinear, resize_nearest, spectral_normalize
-from .sphere_conv import SphereConv2D, sphere_conv_apply
+from .sphere_conv import SphereConv2D, _count_flops, compute_dtype_of, sphere_conv_apply
 
 __all__ = ["SPADE", "SPADEResnetBlock", "ConvEncoder", "SPADEGenerator", "SNConv", "SNSphereConv"]
 
@@ -46,10 +46,20 @@ class SNConv(nn.Module):
         )
         kernel = spectral_normalize(self, kernel, update_u)
         pad = (k - 1) // 2
-        y = jax.lax.conv_general_dilated(
-            x, kernel, (self.stride, self.stride), [(pad, pad), (pad, pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        _count_flops(
+            2 * x.shape[0] * ((x.shape[1] + self.stride - 1) // self.stride)
+            * ((x.shape[2] + self.stride - 1) // self.stride)
+            * k * k * cin * self.features
         )
+        dt = compute_dtype_of(x)
+        # conv in dt, output cast back to f32: the astype's transpose casts the
+        # cotangent to dt, keeping the conv VJP dtypes consistent (lax.conv is
+        # strict about matching operand dtypes, unlike einsum)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), kernel.astype(dt), (self.stride, self.stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sphere_conv import sphere_taps
+from .sphere_conv import compute_dtype_of, sphere_taps
 
 __all__ = ["sphere_conv_pallas", "structured_tables"]
 
@@ -95,14 +95,22 @@ def _kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, k_ref, b_ref, out_ref,
     # block is staged in s_ref, then all rows multiply at once
     def tap_body(t, acc):
         def row_body(ii, _):
-            s_row = jnp.zeros((w, cin), jnp.float32)
+            s_row = jnp.zeros((w, cin), win_ref.dtype)
 
             def nb_body(k, s_row):
                 r_local = rows_ref[0, ii, t, k] - start
                 shift = shifts_ref[0, ii, t, k]
                 # circular shift on the sublane axis via the native dynamic
-                # rotate (dynamic-start sublane slices don't lower)
-                shifted = pltpu.roll(win_ref[r_local], w_in - shift, 0)
+                # rotate (dynamic-start sublane slices don't lower). Mosaic
+                # only rotates 32-bit lanes: roll in f32, cast back — the DMA,
+                # staging, and matmul stay in the compute dtype
+                row = win_ref[r_local]
+                if row.dtype != jnp.float32:
+                    shifted = pltpu.roll(
+                        row.astype(jnp.float32), w_in - shift, 0
+                    ).astype(row.dtype)
+                else:
+                    shifted = pltpu.roll(row, w_in - shift, 0)
                 if stride > 1:
                     # out col j samples input col stride*j + shift
                     shifted = shifted.reshape(w, stride, cin)[:, 0, :]
@@ -130,6 +138,9 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     """
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
+    dt = compute_dtype_of(x)
+    if dt not in (jnp.float32, jnp.bfloat16):
+        dt = jnp.float32
     # The in-kernel dynamic rotate needs full 128-lane tiles; VMEM pads the
     # lane dim to 128 regardless, so zero-padding cin up to 128 costs nothing
     # (zeros contribute nothing to the matmul).
@@ -192,8 +203,8 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_rows, w, cin), jnp.float32),
-            pltpu.VMEM((br, wo, cin), jnp.float32),           # per-tap staging
+            pltpu.VMEM((win_rows, w, cin), dt),
+            pltpu.VMEM((br, wo, cin), dt),                    # per-tap staging
             pltpu.SemaphoreType.DMA((1,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -201,8 +212,9 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
         ),
         interpret=interpret,
     )(
-        jnp.asarray(rows_c)[None], jnp.asarray(shift_c)[None], jnp.asarray(wcol),
-        x.astype(jnp.float32), kflat.astype(jnp.float32), bias_in.astype(jnp.float32),
+        jnp.asarray(rows_c)[None], jnp.asarray(shift_c)[None],
+        jnp.asarray(wcol).astype(dt),
+        x.astype(dt), kflat.astype(dt), bias_in.astype(jnp.float32),
     )
     if pad_out:
         out = out[..., : cout - pad_out]

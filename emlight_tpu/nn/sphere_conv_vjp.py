@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sphere_conv import sphere_taps
+from .sphere_conv import compute_dtype_of, sphere_taps
 from .sphere_conv_pallas import sphere_conv_pallas, structured_tables
 
 __all__ = ["sphere_conv_trainable"]
@@ -171,6 +171,9 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad_cin), (0, 0)))
         cin = 128
 
+    dt = compute_dtype_of(g)
+    if dt not in (jnp.float32, jnp.bfloat16):
+        dt = jnp.float32
     out_rows, taps, shifts, weights, fanin = inverse_tables(h, w, stride)
     br = min(block_rows, h)
     if h % br:
@@ -198,10 +201,10 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
     args = (
         jnp.asarray(out_rows)[None], jnp.asarray(taps)[None],
         jnp.asarray(shifts)[None], jnp.asarray(weights),
-        g.astype(jnp.float32), kt.astype(jnp.float32),
+        g.astype(dt), kt.astype(dt),
     )
     scratch = [
-        pltpu.VMEM((win_rows, wo, cout), jnp.float32),
+        pltpu.VMEM((win_rows, wo, cout), dt),
         pltpu.SemaphoreType.DMA((1,)),
     ]
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -248,10 +251,11 @@ def _dk_gather(x: jax.Array, g: jax.Array, cout: int, stride: int = 1) -> jax.Ar
     """dK via the XLA gather formulation: dK[t] = Σ sampled_tᵀ g."""
     b, h, w, cin = x.shape
     idx, wgt, (ho, wo) = sphere_taps(h, w, stride)
-    xf = x.reshape(b, h * w, cin)
-    gf = g.reshape(b, ho * wo, cout)
+    dt = compute_dtype_of(x)
+    xf = x.reshape(b, h * w, cin).astype(dt)
+    gf = g.reshape(b, ho * wo, cout).astype(dt)
     idx_t = jnp.asarray(idx.transpose(1, 0, 2))
-    wgt_t = jnp.asarray(wgt.transpose(1, 0, 2))
+    wgt_t = jnp.asarray(wgt.transpose(1, 0, 2)).astype(dt)
 
     def body(_, tap):
         t_idx, t_wgt = tap

@@ -19,6 +19,7 @@ the discriminator step and D's forward inside the generator step.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any
 
@@ -123,6 +124,19 @@ def create_state(rng: jax.Array, cfg: ProjectorConfig, axis_name: str | None = N
     )
 
 
+def compute_ctx(cfg: ProjectorConfig, use_pallas: bool = False):
+    """Trace-time contexts for the step bodies: Pallas kernel dispatch and
+    mixed-precision conv compute (cfg.dtype='bfloat16' -> bf16 gathers/matmuls
+    with f32 accumulation; everything else stays f32)."""
+    from ..nn.sphere_conv import conv_compute_dtype, pallas_sphere_convs
+
+    stack = contextlib.ExitStack()
+    stack.enter_context(pallas_sphere_convs(use_pallas))
+    if cfg.dtype == "bfloat16":
+        stack.enter_context(conv_compute_dtype(jnp.bfloat16))
+    return stack
+
+
 def make_guide(batch, cfg: ProjectorConfig):
     """Rasterize the anchor-GT environment map (GenProjector/data.py:86-102):
     env = (splat(dist * intensity * rgb) + ambient) * alpha."""
@@ -161,9 +175,7 @@ def generator_step(state: ProjectorState, batch, cfg: ProjectorConfig,
                    vgg_apply=None, vgg_variables=None, use_pallas: bool = False):
     """use_pallas (TPU): stride-1 sphere convs run the fused custom-VJP
     kernel — differentiable, ~2.4x on the high-res layers."""
-    from ..nn.sphere_conv import pallas_sphere_convs
-
-    with pallas_sphere_convs(use_pallas):
+    with compute_ctx(cfg, use_pallas):
         return _generator_step_body(state, batch, cfg, vgg_apply, vgg_variables)
 
 
@@ -206,9 +218,7 @@ def _generator_step_body(state, batch, cfg, vgg_apply, vgg_variables):
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def discriminator_step(state: ProjectorState, batch, cfg: ProjectorConfig,
                        use_pallas: bool = False):
-    from ..nn.sphere_conv import pallas_sphere_convs
-
-    with pallas_sphere_convs(use_pallas):
+    with compute_ctx(cfg, use_pallas):
         return _discriminator_step_body(state, batch, cfg)
 
 
@@ -246,9 +256,7 @@ def inference(state: ProjectorState, batch, cfg: ProjectorConfig, use_pallas: bo
     use_pallas routes high-resolution sphere convs through the fused Pallas
     kernel (TPU inference only — it has no VJP); ~1.6x on the full generator.
     """
-    from ..nn.sphere_conv import pallas_sphere_convs
-
-    with pallas_sphere_convs(use_pallas):
+    with compute_ctx(cfg, use_pallas):
         guide = make_guide(batch, cfg)
         variables = {"params": state.g_params, **state.g_stats}
         return state.g_apply(variables, guide, batch["crop"], train=False)

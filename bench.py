@@ -326,6 +326,43 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
     return results["g_step"], results["d_step"], results["synthesis"], mfu
 
 
+def bench_sinkhorn(batch: int = 16, n: int = 96, reps: int = 200):
+    """Sinkhorn EMD value+grad, jnp vs fused-Pallas ε-scaling loop (the
+    regression loss at reference shapes: bs 16, 96 anchors). Returns
+    (jnp_us, pallas_us) per loss call."""
+    import jax
+    import jax.numpy as jnp
+
+    from emlight_tpu.losses.sinkhorn import SamplesLoss
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.gamma(0.3, 1.0, (batch, n)).astype(np.float32))
+    y = jnp.asarray(rng.gamma(0.3, 1.0, (batch, n)).astype(np.float32))
+    x = x / x.sum(1, keepdims=True)
+    y = y / y.sum(1, keepdims=True)
+
+    out = {}
+    for backend in ("jnp", "pallas"):
+        if backend == "pallas" and jax.default_backend() != "tpu":
+            out[backend] = None
+            continue
+        loss = SamplesLoss("sinkhorn", p=2, blur=0.025, n_anchors=n, backend=backend)
+
+        def run_n(x, y):
+            def body(acc, _):
+                v, g = jax.value_and_grad(lambda xx: loss(xx + acc * 1e-30, y).sum())(x)
+                return acc + v + g.sum(), None
+            total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+            return total
+
+        compiled = jax.jit(run_n).lower(x, y).compile()
+        float(compiled(x, y))
+        t0 = time.perf_counter()
+        float(compiled(x, y))
+        out[backend] = (time.perf_counter() - t0) / reps * 1e6
+    return out["jnp"], out["pallas"]
+
+
 def main():
     throughput, p50_ms, mfu = bench_tpu()
     try:
@@ -342,6 +379,11 @@ def main():
             gan = bench_gan()
         except Exception as e:
             print(f"# bench_gan failed: {e!r}", file=sys.stderr)
+    try:
+        sink_jnp, sink_pallas = bench_sinkhorn()
+    except Exception as e:
+        print(f"# bench_sinkhorn failed: {e!r}", file=sys.stderr)
+        sink_jnp = sink_pallas = None
     result = {
         "metric": "images/sec/chip (crop->128-anchor regression + env-map recon)",
         "value": round(throughput, 2),
@@ -362,6 +404,11 @@ def main():
             gan_synthesis_ms_bs8=round(synth_ms, 1),
             gan_mfu_pct=gan_mfu or None,
         )
+    if sink_jnp is not None:
+        result["sinkhorn_us_per_call_jnp"] = round(sink_jnp, 1)
+        if sink_pallas is not None:
+            result["sinkhorn_us_per_call_pallas"] = round(sink_pallas, 1)
+            result["sinkhorn_pallas_speedup"] = round(sink_jnp / sink_pallas, 2)
     print(json.dumps(result))
 
 

@@ -327,9 +327,9 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
 
 
 def bench_sinkhorn(batch: int = 16, n: int = 96, reps: int = 200):
-    """Sinkhorn EMD value+grad, jnp vs fused-Pallas ε-scaling loop (the
-    regression loss at reference shapes: bs 16, 96 anchors). Returns
-    (jnp_us, pallas_us) per loss call."""
+    """Sinkhorn EMD value+grad per loss call (the regression loss at reference
+    shapes: bs 16, 96 anchors), XLA scanned-loop backend. A fused Pallas loop
+    was benchmarked here in round 2 and removed: 826 vs 305 us at this shape."""
     import jax
     import jax.numpy as jnp
 
@@ -340,27 +340,20 @@ def bench_sinkhorn(batch: int = 16, n: int = 96, reps: int = 200):
     y = jnp.asarray(rng.gamma(0.3, 1.0, (batch, n)).astype(np.float32))
     x = x / x.sum(1, keepdims=True)
     y = y / y.sum(1, keepdims=True)
+    loss = SamplesLoss("sinkhorn", p=2, blur=0.025, n_anchors=n)
 
-    out = {}
-    for backend in ("jnp", "pallas"):
-        if backend == "pallas" and jax.default_backend() != "tpu":
-            out[backend] = None
-            continue
-        loss = SamplesLoss("sinkhorn", p=2, blur=0.025, n_anchors=n, backend=backend)
+    def run_n(x, y):
+        def body(acc, _):
+            v, g = jax.value_and_grad(lambda xx: loss(xx + acc * 1e-30, y).sum())(x)
+            return acc + v + g.sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return total
 
-        def run_n(x, y):
-            def body(acc, _):
-                v, g = jax.value_and_grad(lambda xx: loss(xx + acc * 1e-30, y).sum())(x)
-                return acc + v + g.sum(), None
-            total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-            return total
-
-        compiled = jax.jit(run_n).lower(x, y).compile()
-        float(compiled(x, y))
-        t0 = time.perf_counter()
-        float(compiled(x, y))
-        out[backend] = (time.perf_counter() - t0) / reps * 1e6
-    return out["jnp"], out["pallas"]
+    compiled = jax.jit(run_n).lower(x, y).compile()
+    float(compiled(x, y))
+    t0 = time.perf_counter()
+    float(compiled(x, y))
+    return (time.perf_counter() - t0) / reps * 1e6
 
 
 def main():
@@ -380,10 +373,10 @@ def main():
         except Exception as e:
             print(f"# bench_gan failed: {e!r}", file=sys.stderr)
     try:
-        sink_jnp, sink_pallas = bench_sinkhorn()
+        sink_us = bench_sinkhorn()
     except Exception as e:
         print(f"# bench_sinkhorn failed: {e!r}", file=sys.stderr)
-        sink_jnp = sink_pallas = None
+        sink_us = None
     result = {
         "metric": "images/sec/chip (crop->128-anchor regression + env-map recon)",
         "value": round(throughput, 2),
@@ -404,11 +397,8 @@ def main():
             gan_synthesis_ms_bs8=round(synth_ms, 1),
             gan_mfu_pct=gan_mfu or None,
         )
-    if sink_jnp is not None:
-        result["sinkhorn_us_per_call_jnp"] = round(sink_jnp, 1)
-        if sink_pallas is not None:
-            result["sinkhorn_us_per_call_pallas"] = round(sink_pallas, 1)
-            result["sinkhorn_pallas_speedup"] = round(sink_jnp / sink_pallas, 2)
+    if sink_us is not None:
+        result["sinkhorn_us_per_call"] = round(sink_us, 1)
     print(json.dumps(result))
 
 

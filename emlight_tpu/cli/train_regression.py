@@ -33,8 +33,9 @@ def main(argv=None):
     ap.add_argument("--parallel", action="store_true", help="data-parallel over all devices")
     ap.add_argument("--summary_every", type=int, default=100)
     ap.add_argument("--save_every", type=int, default=500)
-    ap.add_argument("--sinkhorn_backend", choices=("auto", "jnp", "pallas"), default="auto",
-                    help="auto = fused Pallas loop on TPU, XLA elsewhere")
+    ap.add_argument("--sinkhorn_backend", choices=("auto", "jnp"), default="auto",
+                    help="XLA scanned loop (a fused Pallas loop was tried and "
+                         "removed: slower at every measured shape)")
     ap.add_argument("--profile_dir", default=None)
     ap.add_argument("--block_config", default="16,16,16",
                     help="DenseNet blocks, e.g. '2,2' for smoke runs")

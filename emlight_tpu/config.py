@@ -31,7 +31,7 @@ class SinkhornConfig:
     value_weight: float = 0.1     # geomloss/utils.py:94
     n_iters: int = 12             # static schedule length (dynamic diameter)
     diameter: float | None = None
-    backend: str = "auto"         # "auto" (pallas on TPU, else jnp) | "jnp" | "pallas"
+    backend: str = "auto"         # "auto"/"jnp": XLA scanned loop (fastest measured on TPU)
 
 
 @dataclass(frozen=True)

@@ -134,18 +134,20 @@ def test_samples_loss_api_and_jit():
     assert float(loss(jnp.asarray(x), jnp.asarray(y)).sum()) > float(np.asarray(v_same).sum())
 
 
-def test_pallas_backend_matches_jnp_backend():
+def test_backend_auto_is_jnp_and_pallas_removed():
+    # the fused Pallas loop was removed after losing to the XLA lowering at
+    # every measured shape; 'auto'/'jnp' are the scanned loop, 'pallas' errors
     x, y = _rand_dists(4, 128, 11)
     kw = dict(p=2, blur=0.025, n_anchors=128, diameter=2.0)
-    l_ref = SamplesLoss("sinkhorn", backend="jnp", **kw)
-    l_pal = SamplesLoss("sinkhorn", backend="pallas", **kw)
-    v_ref = np.asarray(l_ref(jnp.asarray(x), jnp.asarray(y)))
-    v_pal = np.asarray(l_pal(jnp.asarray(x), jnp.asarray(y)))
-    np.testing.assert_allclose(v_pal, v_ref, rtol=1e-5, atol=1e-7)
+    v_auto = np.asarray(SamplesLoss("sinkhorn", backend="auto", **kw)(
+        jnp.asarray(x), jnp.asarray(y)))
+    v_jnp = np.asarray(SamplesLoss("sinkhorn", backend="jnp", **kw)(
+        jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_array_equal(v_auto, v_jnp)
+    import pytest
 
-    g_ref = jax.grad(lambda a: l_ref(a, jnp.asarray(y)).sum())(jnp.asarray(x))
-    g_pal = jax.grad(lambda a: l_pal(a, jnp.asarray(y)).sum())(jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), rtol=1e-4, atol=1e-8)
+    with pytest.raises(ValueError, match="pallas"):
+        SamplesLoss("sinkhorn", backend="pallas", **kw)
 
 
 def test_gmlight_geometry_variant():

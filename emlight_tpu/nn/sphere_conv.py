@@ -128,6 +128,7 @@ def sphere_gather(x: jax.Array, stride: int = 1, tap: int | None = None):
 
 _PREFER_PALLAS = False
 _PALLAS_STRIDES: tuple[int, ...] = (1,)
+_PALLAS_MIN_PIXELS = 8192  # fused kernel wins at >= 64x128 (measured, v5e)
 _CONV_FLOPS: list | None = None
 
 
@@ -188,7 +189,8 @@ def compute_dtype_of(x: jax.Array):
 
 
 @contextlib.contextmanager
-def pallas_sphere_convs(enable: bool = True, strides: tuple[int, ...] = (1,)):
+def pallas_sphere_convs(enable: bool = True, strides: tuple[int, ...] = (1,),
+                        min_pixels: int = 8192):
     """Route sphere convs through the fused Pallas kernels (TPU, ~2.4x).
 
     The custom-VJP path (sphere_conv_vjp) covers stride 1 and 2 and is fully
@@ -196,17 +198,20 @@ def pallas_sphere_convs(enable: bool = True, strides: tuple[int, ...] = (1,)):
     selects which strides dispatch to it; the default is stride 1 only:
     measured on v5e, the stride-2 layers (discriminator front, small channel
     counts that pad to the 128-lane tile) are faster in the XLA gather
-    formulation. Low-resolution layers always keep the gather formulation.
+    formulation. Layers below `min_pixels` (H*W) keep the gather formulation
+    (the kernel's per-row loop overhead loses to XLA at low resolution).
     """
-    global _PREFER_PALLAS, _PALLAS_STRIDES
-    prev, prev_s = _PREFER_PALLAS, _PALLAS_STRIDES
+    global _PREFER_PALLAS, _PALLAS_STRIDES, _PALLAS_MIN_PIXELS
+    prev, prev_s, prev_p = _PREFER_PALLAS, _PALLAS_STRIDES, _PALLAS_MIN_PIXELS
     _PREFER_PALLAS = enable
     _PALLAS_STRIDES = tuple(strides)
+    _PALLAS_MIN_PIXELS = min_pixels
     try:
         yield
     finally:
         _PREFER_PALLAS = prev
         _PALLAS_STRIDES = prev_s
+        _PALLAS_MIN_PIXELS = prev_p
 
 
 def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
@@ -233,7 +238,7 @@ def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     if (
         _PREFER_PALLAS
         and jax.default_backend() == "tpu"
-        and x.shape[1] * x.shape[2] >= 8192
+        and x.shape[1] * x.shape[2] >= _PALLAS_MIN_PIXELS
         and stride in _PALLAS_STRIDES
     ):
         from .sphere_conv_vjp import sphere_conv_trainable

@@ -110,3 +110,28 @@ def test_overfit_discriminator_separates(state0):
     for _ in range(5):
         s, m = P.discriminator_step(s, batch, TINY)
     assert float(m["loss_D"]) < float(m0["loss_D"])
+
+
+def test_fused_step_matches_alternating_grads(state0):
+    """fused_gan_step: G update identical to generator_step's; D update
+    identical to discriminator_step's at the PRE-update G (Jacobi semantics,
+    see the fused_gan_step docstring)."""
+    batch = _batch(11)
+    sf, mf, fake = P.fused_gan_step(state0, batch, TINY)
+
+    sg, mg, _ = P.generator_step(state0, batch, TINY)
+    sd, md = P.discriminator_step(state0, batch, TINY)
+
+    np.testing.assert_allclose(float(mf["loss_G"]), float(mg["loss_G"]), rtol=1e-5)
+    np.testing.assert_allclose(float(mf["loss_D"]), float(md["loss_D"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sf.g_params), jax.tree.leaves(sg.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(sf.d_params), jax.tree.leaves(sd.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    assert int(sf.step) == int(state0.step) + 1
+    assert fake.shape == (2, 32, 64, 3)
+    # fused training stays finite over a few iterations
+    s = sf
+    for i in range(3):
+        s, m, _ = P.fused_gan_step(s, _batch(12 + i), TINY)
+        assert all(np.isfinite(float(v)) for v in m.values())

@@ -101,3 +101,45 @@ def test_batch_stats_update_only_in_train_mode():
         for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(new_state.batch_stats))
     )
     assert changed
+
+
+def test_clip_grad_norm_bounds_update_and_roundtrips(tmp_path):
+    """clip_grad_norm > 0 chains global-norm clipping ahead of Adam: the first
+    pre-Adam update has global norm <= clip, loss still falls, and the changed
+    opt-state structure checkpoints/restores into a matching template."""
+    import optax
+
+    clip = 0.5
+    clip_cfg = dataclasses.replace(SMALL, clip_grad_norm=clip)
+    state = R.create_state(jax.random.PRNGKey(0), clip_cfg)
+    batch = _batch(clip_cfg)
+
+    # oracle: chain(clip_by_global_norm, adam) == adam applied to pre-scaled
+    # grads g * min(1, clip/||g||)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, clip / gnorm)
+    upd_chain, _ = state.tx.update(grads, state.opt_state, state.params)
+    plain = optax.adam(SMALL.lr, b1=SMALL.betas[0], b2=SMALL.betas[1])
+    upd_plain, _ = plain.update(
+        jax.tree.map(lambda g: g * scale, grads),
+        plain.init(state.params),
+        state.params,
+    )
+    for a, b in zip(jax.tree.leaves(upd_chain), jax.tree.leaves(upd_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
+
+    # training still converges with a practical clip value
+    loose = dataclasses.replace(SMALL, clip_grad_norm=10.0)
+    s = R.create_state(jax.random.PRNGKey(1), loose)
+    _, m0 = R.train_step(s, batch, loose)
+    for _ in range(6):
+        s, m = R.train_step(s, batch, loose)
+    assert float(m["loss"]) < float(m0["loss"])
+
+    # checkpoint roundtrip with the chained opt-state structure
+    path = ckpt.save_checkpoint(str(tmp_path), s, name="latest")
+    restored = ckpt.restore_checkpoint(path, R.create_state(jax.random.PRNGKey(2), loose))
+    s1, m1 = R.train_step(s, batch, loose)
+    s2, m2 = R.train_step(restored, batch, loose)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)

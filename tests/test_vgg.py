@@ -140,6 +140,25 @@ TINY = dataclasses.replace(
 
 
 def test_generator_step_vgg_single_vs_parallel(oracle):
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("EMLIGHT_VGG_SUBTEST") != "1":
+        # Run the scenario in a FRESH interpreter. In a full-suite run (~120
+        # prior tests of accumulated XLA CPU JIT state) jaxlib deterministically
+        # segfaults in backend_compile_and_load while compiling this test's
+        # programs; alone it passes in ~4 min. Isolation keeps the coverage
+        # identical and the suite green.
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             __file__ + "::test_generator_step_vgg_single_vs_parallel", "-q", "-x"],
+            env={**os.environ, "EMLIGHT_VGG_SUBTEST": "1"},
+            capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, (r.stdout[-3000:] or "") + (r.stderr[-2000:] or "")
+        return
+
     from emlight_tpu.dist import (
         make_mesh, make_parallel_projector_steps, replicate, shard_batch,
     )

@@ -229,7 +229,7 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
     """GAN train-step (G and D) and generator-synthesis times at flagship
     size (128x256 env maps, ngf=ndf=64, the train_laval.sh architecture),
     measured as on-device scans of the real jitted step bodies with the fused
-    Pallas sphere-conv path on. Returns (g_ms, d_ms, synth_ms, mfu_dict)."""
+    Pallas sphere-conv path on. Returns ({step name: ms}, mfu_dict)."""
     import jax
     import jax.numpy as jnp
 
@@ -266,6 +266,10 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
     def d_body(st, b):
         st2, metrics = P._discriminator_step_body(st, b, cfg)
         return st2, metrics["loss_D"]
+
+    def fused_body(st, b):
+        st2, metrics, _fake = P._fused_gan_step_body(st, b, cfg, None, None)
+        return st2, metrics["loss_G"]
 
     # eval-mode synthesis (GenProjector/test.py path), scanned on device
     from emlight_tpu.train.projector import make_guide
@@ -312,18 +316,21 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
         "d_step": 3.0 * fwd_conv_flops(scan_steps(d_body)) - 2.0 * g_fwd,
         "synthesis": g_fwd,
     }
+    # fused = one G update + one D update sharing the generator forward
+    step_flops["fused_step"] = step_flops["g_step"] + step_flops["d_step"] - g_fwd
     mfu = {}
     results = {}
     for name, fn, fetch in (
         ("g_step", scan_steps(g_body), lambda o: o[1][-1]),
         ("d_step", scan_steps(d_body), lambda o: o[1][-1]),
+        ("fused_step", scan_steps(fused_body), lambda o: o[1][-1]),
         ("synthesis", run_synth, lambda o: o),
     ):
         ms = time_exec(fn, fetch)
         results[name] = ms
         if step_flops[name]:
             mfu[name] = round(step_flops[name] / (ms / 1000) / peak * 100, 1)
-    return results["g_step"], results["d_step"], results["synthesis"], mfu
+    return results, mfu
 
 
 def bench_sinkhorn(batch: int = 16, n: int = 96, reps: int = 200):
@@ -390,11 +397,12 @@ def main():
         "gt_extraction_vs_reference_numpy": round(gt_rate / gt_ref, 1) if gt_rate else None,
     }
     if gan is not None:
-        g_ms, d_ms, synth_ms, gan_mfu = gan
+        gan_ms, gan_mfu = gan
         result.update(
-            gan_g_step_ms_bs8=round(g_ms, 1),
-            gan_d_step_ms_bs8=round(d_ms, 1),
-            gan_synthesis_ms_bs8=round(synth_ms, 1),
+            gan_g_step_ms_bs8=round(gan_ms["g_step"], 1),
+            gan_d_step_ms_bs8=round(gan_ms["d_step"], 1),
+            gan_fused_step_ms_bs8=round(gan_ms["fused_step"], 1),
+            gan_synthesis_ms_bs8=round(gan_ms["synthesis"], 1),
             gan_mfu_pct=gan_mfu or None,
         )
     if sink_us is not None:

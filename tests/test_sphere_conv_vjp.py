@@ -73,3 +73,30 @@ def test_vjp_no_bias():
     gx_r, gk_r = jax.grad(f_ref, argnums=(0, 1))(x, k)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r), rtol=1e-4, atol=1e-4)
+
+
+def test_dx_umajor_kernel_matches_gather(monkeypatch):
+    """The U-major dx variant (dispatched at >=128x256 on hardware) is
+    grad-exact vs gather autodiff; threshold patched low so the small
+    interpret-mode shape exercises the U-major kernel body."""
+    from emlight_tpu.nn import sphere_conv_vjp as V
+
+    monkeypatch.setattr(V, "_UMAJOR_MIN_PIXELS", 1)
+    rng = np.random.default_rng(3)
+    b, h, w, cin, cout = 2, 16, 32, 8, 8
+    x = jnp.asarray(rng.random((b, h, w, cin), dtype=np.float32))
+    k = jnp.asarray(rng.normal(0, 0.2, (3, 3, cin, cout)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, cout).astype(np.float32))
+    tgt = jnp.asarray(rng.random((b, h, w, cout), dtype=np.float32))
+
+    v_ref, g_ref = jax.value_and_grad(
+        lambda *a: jnp.sum((sphere_conv_apply(*a, 1) - tgt) ** 2), argnums=(0, 1, 2)
+    )(x, k, bias)
+    v_new, g_new = jax.value_and_grad(
+        lambda *a: jnp.sum((sphere_conv_trainable(*a, 1) - tgt) ** 2), argnums=(0, 1, 2)
+    )(x, k, bias)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-5)
+    for a, b_, name in zip(g_new, g_ref, ("dx", "dk", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4, err_msg=name
+        )

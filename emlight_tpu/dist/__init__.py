@@ -1,5 +1,6 @@
 from .mesh import make_mesh, replicate, shard_batch  # noqa: F401
 from .parallel import (  # noqa: F401
+    make_parallel_fused_step,
     make_parallel_projector_steps,
     make_parallel_regression_step,
 )

@@ -27,7 +27,8 @@ from ..train import projector as proj
 from ..train import regression as reg
 from .mesh import DATA_AXIS
 
-__all__ = ["make_parallel_regression_step", "make_parallel_projector_steps"]
+__all__ = ["make_parallel_regression_step", "make_parallel_projector_steps",
+           "make_parallel_fused_step"]
 
 
 def make_parallel_regression_step(cfg: RegressionConfig, mesh: Mesh):
@@ -152,3 +153,82 @@ def make_parallel_projector_steps(cfg: ProjectorConfig, mesh: Mesh,
         check_vma=False,
     ))
     return g_step, d_step
+
+
+def make_parallel_fused_step(cfg: ProjectorConfig, mesh: Mesh,
+                             vgg_apply=None, vgg_variables=None,
+                             use_pallas: bool = False):
+    """shard_mapped fused G+D step (one shared generator forward per
+    iteration; Jacobi updates — see proj.fused_gan_step). Same cross-replica
+    semantics as the alternating pair: grads/losses/stats pmean'd, BN runs
+    global-batch statistics via axis_name."""
+
+    def core(state, batch):
+        with proj.compute_ctx(cfg, use_pallas):
+            return _core(state, batch)
+
+    def _core(state, batch):
+        guide = proj.make_guide(batch, cfg)
+        crop, real = batch["crop"], batch["warped"]
+        light_map = batch["map"][..., None]
+
+        def g_loss_fn(g_params):
+            fake, g_mut = proj._run_g(state, g_params, guide, crop, True)
+            pred_fake, pred_real, _ = proj._run_d(
+                state, state.d_params, guide, fake, real, True
+            )
+            losses = {
+                "GAN": gan_loss(pred_fake, True, False, cfg.gan_mode),
+                "GAN_Feat": feature_matching_loss(
+                    pred_fake, pred_real, light_map, cfg.ambient_feat_weight
+                ),
+                "COS": cosine_loss(fake, real) * cfg.lambda_cos,
+            }
+            if vgg_apply is not None:
+                from ..nn.vgg import vgg_perceptual_loss
+
+                losses["VGG"] = cfg.lambda_vgg * vgg_perceptual_loss(
+                    vgg_apply, vgg_variables, fake, real
+                )
+            return sum(losses.values()), (losses, g_mut, fake)
+
+        (g_total, (g_losses, g_mut, fake)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        fake = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(d_params):
+            pred_fake, pred_real, d_mut = proj._run_d(
+                state, d_params, guide, fake, real, True
+            )
+            d_f = gan_loss(pred_fake, False, True, cfg.gan_mode)
+            d_r = gan_loss(pred_real, True, True, cfg.gan_mode)
+            return d_f + d_r, (d_f, d_r, d_mut)
+
+        (d_total, (d_f, d_r, d_mut)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params)
+
+        g_grads = jax.lax.pmean(g_grads, DATA_AXIS)
+        d_grads = jax.lax.pmean(d_grads, DATA_AXIS)
+        metrics = jax.lax.pmean(
+            {**g_losses, "loss_G": g_total,
+             "D_Fake": d_f, "D_real": d_r, "loss_D": d_total},
+            DATA_AXIS,
+        )
+        g_updates, g_opt = state.tx_g.update(g_grads, state.g_opt, state.g_params)
+        d_updates, d_opt = state.tx_d.update(d_grads, state.d_opt, state.d_params)
+        state = state.replace(
+            g_params=optax.apply_updates(state.g_params, g_updates),
+            d_params=optax.apply_updates(state.d_params, d_updates),
+            g_opt=g_opt, d_opt=d_opt,
+            g_stats=jax.lax.pmean(g_mut, DATA_AXIS),
+            d_stats=jax.lax.pmean(d_mut, DATA_AXIS),
+            step=state.step + 1,
+        )
+        return state, metrics, fake
+
+    return jax.jit(shard_map(
+        core, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P(), P(DATA_AXIS)), check_vma=False,
+    ))

@@ -92,3 +92,37 @@ def test_parallel_projector_steps_run():
     assert fake.shape == (8, 32, 64, 3)
     for v in {**g_metrics, **d_metrics}.values():
         assert np.isfinite(float(v))
+
+
+def test_parallel_fused_step_matches_single():
+    """shard_mapped fused step == single-device fused step on the same global
+    batch (loss equality is the cross-replica drift guard, as in the VGG
+    single-vs-parallel test)."""
+    from emlight_tpu.dist import make_parallel_fused_step
+
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_projector_batch(
+            8, n_anchors=16, crop_size=32, env_hw=(32, 64), seed=7
+        ).items()
+        if not isinstance(v, list)
+    }
+    state_s = P_.create_state(jax.random.PRNGKey(5), TINY_PROJ)
+    ss, ms, _ = P_.fused_gan_step(state_s, batch, TINY_PROJ)
+
+    mesh = make_mesh(8)
+    state_p = replicate(
+        P_.create_state(jax.random.PRNGKey(5), TINY_PROJ, axis_name=DATA_AXIS), mesh
+    )
+    fused = make_parallel_fused_step(TINY_PROJ, mesh)
+    sp, mp, fake = fused(state_p, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(mp["loss_G"]), float(ms["loss_G"]), rtol=1e-4)
+    np.testing.assert_allclose(float(mp["loss_D"]), float(ms["loss_D"]), rtol=1e-4)
+    assert fake.shape == (8, 32, 64, 3)
+    assert int(sp.step) == 1
+    for a, b in zip(
+        jax.tree.leaves(sp.g_stats["batch_stats"]),
+        jax.tree.leaves(ss.g_stats["batch_stats"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

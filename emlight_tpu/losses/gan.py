@@ -71,9 +71,23 @@ def feature_matching_loss(pred_fake, pred_real, light_map, ambient_weight: float
 
 
 def cosine_loss(fake, real, eps: float = 1e-20):
-    """(1 - cosine_similarity over channels).mean() (pix2pix_model.py:95,122)."""
+    """(1 - cosine_similarity over channels).mean() (pix2pix_model.py:95,122).
+
+    Norms are computed as sqrt(sumsq + 1e-30) rather than jnp.linalg.norm:
+    value-identical at pixel scale, but the GRADIENT at an exactly-zero pixel
+    is 0 instead of norm's 0/0 = NaN. The generator's (tanh+1)*25 head
+    saturates to exact zeros under adversarial pressure (measured: 1803
+    zero-norm fake pixels at the divergence step; primal stayed finite, the
+    cotangent did not) — torch survives the same state because torch.norm's
+    backward returns a zero subgradient at 0."""
     num = (fake * real).sum(-1)
-    den = jnp.maximum(
-        jnp.linalg.norm(fake, axis=-1) * jnp.linalg.norm(real, axis=-1), eps
-    )
-    return jnp.mean(1.0 - num / den)
+    prod = (fake * fake).sum(-1) * (real * real).sum(-1)
+    safe = prod > 0
+    # double-where: sqrt never sees 0 (its cotangent there is inf) and the
+    # unsafe lanes contribute cos = 0 with a zero gradient. torch's primal is
+    # also exactly 0 there (num = 0 over the clamped denominator), but its
+    # subgradient is real/eps ~ 1e21 — survivable only by saturating Adam's
+    # second moment; an exact zero is the same fixed point without the inf.
+    den = jnp.sqrt(jnp.where(safe, prod, 1.0))
+    cos = jnp.where(safe, num / jnp.maximum(den, eps), 0.0)
+    return jnp.mean(1.0 - cos)

@@ -79,3 +79,30 @@ def test_gan_loss_modes_match_torch_formulas():
     # wgan
     np.testing.assert_allclose(
         float(gan_loss(pred, True, True, "w")), float(-t.mean()), rtol=1e-6)
+
+
+def test_cosine_loss_matches_torch_and_survives_zero_pixels():
+    """Value parity vs torch CosineSimilarity (pix2pix_model.py:95,122) AND
+    finite gradient when fake pixels are exactly zero — the generator's
+    (tanh+1)*25 head saturates to exact zeros under adversarial pressure, and
+    jnp.linalg.norm's 0/0 cotangent was the measured cause of training
+    divergence (BASELINE.md round-2 notes)."""
+    import jax
+    import torch
+
+    from emlight_tpu.losses.gan import cosine_loss
+
+    rng = np.random.default_rng(0)
+    fake = rng.uniform(0, 50, (2, 8, 16, 3)).astype(np.float32)
+    fake[0, :4] = 0.0  # saturated pixels
+    real = rng.uniform(0, 50, (2, 8, 16, 3)).astype(np.float32)
+
+    got = float(cosine_loss(jnp.asarray(fake), jnp.asarray(real)))
+    tf = torch.from_numpy(fake).permute(0, 3, 1, 2)
+    tr = torch.from_numpy(real).permute(0, 3, 1, 2)
+    want = float((1 - torch.nn.CosineSimilarity(dim=1, eps=1e-20)(tf, tr)).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    g = jax.grad(lambda f: cosine_loss(f, jnp.asarray(real)))(jnp.asarray(fake))
+    assert bool(jnp.isfinite(g).all())
+    np.testing.assert_array_equal(np.asarray(g)[0, :4], 0.0)  # zero subgradient

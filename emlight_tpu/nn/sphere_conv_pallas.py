@@ -130,13 +130,17 @@ def _kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, k_ref, b_ref, out_ref,
 
 
 def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
-                       stride: int = 1, block_rows: int = 8,
+                       stride: int = 1, block_rows: int | None = None,
                        cout_block: int = 128, interpret: bool | None = None) -> jax.Array:
     """Drop-in replacement for sphere_conv_apply (stride 1 or 2).
 
     x: (B, H, W, Cin) f32; kernel (3, 3, Cin, Cout) HWIO; out (B, Ho, Wo, Cout).
+    block_rows None = auto: 16 at >=128x256 (fewer DMA windows, measured ~6%
+    faster on v5e; 32 exceeds VMEM), 8 below.
     """
     b, h, w, cin = x.shape
+    if block_rows is None:
+        block_rows = 16 if h * w >= 32768 else 8
     cout = kernel.shape[-1]
     dt = compute_dtype_of(x)
     if dt not in (jnp.float32, jnp.bfloat16):

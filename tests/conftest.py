@@ -50,3 +50,26 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    A full-suite run accumulates hundreds of live XLA:CPU executables; jaxlib
+    then segfaults inside backend_compile_and_load on a later (varying)
+    compile — observed repeatedly at different suite positions, never when a
+    file runs alone. Module-scoped fixtures keep arrays (safe); only the
+    jit/pjit compilation caches are dropped, so later modules recompile from
+    scratch instead of crashing the JIT.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

@@ -49,6 +49,24 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent compilation cache (local CPU compiles hit it; the remote-compile
+# path doesn't, but tests never use it). The cache-clearing fixture below
+# makes later modules recompile shared helpers — with the disk cache those
+# reloads are near-instant instead of re-running LLVM. Keyed by CPU flags:
+# AOT results from a different microarchitecture can SIGILL on migrating VMs.
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu_flags = next((l for l in _f if l.startswith("flags")), "")
+    _cpu_tag = hashlib.sha1(_cpu_flags.encode()).hexdigest()[:12]
+except OSError:
+    _cpu_tag = "generic"
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", f"/tmp/emlight_jax_cache_cpu_{_cpu_tag}"
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

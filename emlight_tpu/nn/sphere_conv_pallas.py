@@ -129,14 +129,30 @@ def _kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, k_ref, b_ref, out_ref,
     out_ref[0] = (acc + bias).reshape(br, w, k_ref.shape[-1])
 
 
+def auto_block_rows(h: int, w: int, stride: int, dt) -> int:
+    """Row-block size when the caller doesn't pin one.
+
+    16 halves the number of halo-DMA windows (measured ~6% faster at 128x256
+    on v5e) but is only legal when the wcol window fits VMEM: wcol is
+    (br, 9, 4, wo, 1) and its size-1 lane dim pads to 128 lanes, with the
+    grid-indexed window double-buffered — 2*br*9*4*wo*128*itemsize bytes, the
+    dominant allocation. At wo=256 that is 75.5MB in bf16 (fits) but 151MB in
+    f32 (exceeds the 128MB VMEM: Mosaic rejects the compile — caught by
+    bench_gan on the f32 train path).
+    """
+    wcol_win = 2 * 16 * 9 * 4 * w * 128 * jnp.dtype(dt).itemsize
+    if stride == 1 and h * w >= 32768 and wcol_win <= 80 * 1024 * 1024:
+        return 16
+    return 8
+
+
 def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
                        stride: int = 1, block_rows: int | None = None,
                        cout_block: int = 128, interpret: bool | None = None) -> jax.Array:
     """Drop-in replacement for sphere_conv_apply (stride 1 or 2).
 
     x: (B, H, W, Cin) f32; kernel (3, 3, Cin, Cout) HWIO; out (B, Ho, Wo, Cout).
-    block_rows None = auto: 16 at >=128x256 when the wcol window fits VMEM
-    (fewer DMA windows, measured ~6% faster on v5e), else 8.
+    block_rows None = auto (see auto_block_rows).
     """
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
@@ -144,18 +160,7 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     if dt not in (jnp.float32, jnp.bfloat16):
         dt = jnp.float32
     if block_rows is None:
-        # The per-column weight table wcol is (br, 9, 4, wo, 1): its size-1
-        # lane dim pads to 128 lanes in VMEM and the grid-indexed window is
-        # double-buffered, so it costs 2*br*9*4*wo*128*itemsize bytes — the
-        # dominant allocation. At wo=256, br=16 is 75.5MB in bf16 (fits, and
-        # measures ~6% faster) but 151MB in f32 (exceeds the 128MB VMEM:
-        # Mosaic rejects the compile). Pick 16 only when it fits.
-        wcol_win = 2 * 16 * 9 * 4 * w * 128 * jnp.dtype(dt).itemsize
-        block_rows = (
-            16
-            if (stride == 1 and h * w >= 32768 and wcol_win <= 80 * 1024 * 1024)
-            else 8
-        )
+        block_rows = auto_block_rows(h, w, stride, dt)
     # The in-kernel dynamic rotate needs full 128-lane tiles; VMEM pads the
     # lane dim to 128 regardless, so zero-padding cin up to 128 costs nothing
     # (zeros contribute nothing to the matmul).

@@ -43,3 +43,15 @@ def test_structured_tables_cover_all_resolutions():
         structured_tables(h, w, 1)
     for h, w in [(32, 64), (64, 128), (128, 256)]:
         structured_tables(h, w, 2)
+
+
+def test_auto_block_rows_respects_vmem():
+    from emlight_tpu.nn.sphere_conv_pallas import auto_block_rows
+
+    # f32 at full resolution: the 16-row wcol window is 151MB > VMEM -> 8
+    assert auto_block_rows(128, 256, 1, jnp.float32) == 8
+    # bf16 halves it to 75.5MB -> 16 (the measured-faster configuration)
+    assert auto_block_rows(128, 256, 1, jnp.bfloat16) == 16
+    # low resolution and stride 2 always stay at 8
+    assert auto_block_rows(64, 128, 1, jnp.bfloat16) == 8
+    assert auto_block_rows(128, 256, 2, jnp.bfloat16) == 8

@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"),
                     help="bfloat16: conv compute in bf16 (f32 accumulation)")
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--parallel", action="store_true",
+                    help="shard each batch over all devices (data-parallel "
+                         "synthesis; ragged batches are padded)")
     ap.add_argument("--clip_grad_norm", type=float, default=0.0,
                     help="must match training (clipping changes the "
                          "checkpointed optimizer-state structure); "
@@ -70,17 +73,31 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     from PIL import Image
 
+    use_pallas = jax.default_backend() == "tpu"
+    if args.parallel:
+        from ..dist import make_mesh, make_parallel_inference, pad_leading, replicate, shard_batch
+        from ..dist.mesh import DATA_AXIS
+
+        mesh = make_mesh()
+        n_data = mesh.shape[DATA_AXIS]
+        run_parallel = make_parallel_inference(cfg, mesh, use_pallas=use_pallas)
+        state = replicate(state, mesh)
+
     for s in range(0, n, args.batch):
         idx = range(s, min(s + args.batch, n))
         samples = [ds[i] for i in idx]
         batch = {
-            k: jnp.asarray(np.stack([smp[k] for smp in samples]))
+            k: np.stack([smp[k] for smp in samples])
             for k in samples[0]
             if k != "name"
         }
-        fake = np.asarray(
-            P.inference(state, batch, cfg, use_pallas=jax.default_backend() == "tpu")
-        )
+        if args.parallel:
+            padded, n_real = pad_leading(batch, n_data)
+            padded = {k: jnp.asarray(v) for k, v in padded.items()}
+            fake = np.asarray(run_parallel(state, shard_batch(padded, mesh)))[:n_real]
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            fake = np.asarray(P.inference(state, batch, cfg, use_pallas=use_pallas))
         for i, smp in enumerate(samples):
             nm = smp["name"]
             write_exr(os.path.join(args.out_dir, f"{nm}.exr"), fake[i])

@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--render", action="store_true", help="also dump env-map previews")
+    ap.add_argument("--parallel", action="store_true",
+                    help="shard each crop batch over all devices (data-parallel "
+                         "inference; ragged batches are padded)")
     ap.add_argument("--block_config", default="16,16,16")
     ap.add_argument("--crop", default="192,256")
     ap.add_argument("--clip_grad_norm", type=float, default=0.0,
@@ -79,6 +82,15 @@ def main(argv=None):
         names = names[: args.limit]
     os.makedirs(args.out_dir, exist_ok=True)
 
+    if args.parallel:
+        from ..dist import make_mesh, make_parallel_predict, pad_leading, replicate, shard_batch
+        from ..dist.mesh import DATA_AXIS
+
+        mesh = make_mesh()
+        n_data = mesh.shape[DATA_AXIS]
+        run_parallel = make_parallel_predict(cfg, mesh)
+        state = replicate(state, mesh)
+
     for s in range(0, len(names), args.batch):
         chunk = names[s : s + args.batch]
         crops = []
@@ -88,9 +100,14 @@ def main(argv=None):
             if img.shape[:2] != (cfg.crop_h, cfg.crop_w):
                 img = resize_panorama(img, (cfg.crop_w, cfg.crop_h))
             crops.append(img)
-        pred = R.predict(state.apply_fn, state.params, state.batch_stats,
-                         jnp.asarray(np.stack(crops)))
-        pred = {k: np.asarray(v) for k, v in pred.items()}
+        if args.parallel:
+            padded, n_real = pad_leading(np.stack(crops), n_data)
+            pred = run_parallel(state, shard_batch(jnp.asarray(padded), mesh))
+            pred = {k: np.asarray(v)[:n_real] for k, v in pred.items()}
+        else:
+            pred = R.predict(state.apply_fn, state.params, state.batch_stats,
+                             jnp.asarray(np.stack(crops)))
+            pred = {k: np.asarray(v) for k, v in pred.items()}
         for i, nm in enumerate(chunk):
             para = {
                 "distribution": pred["distribution"][i],

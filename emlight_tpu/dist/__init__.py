@@ -1,6 +1,8 @@
-from .mesh import make_mesh, replicate, shard_batch  # noqa: F401
+from .mesh import make_mesh, pad_leading, replicate, shard_batch  # noqa: F401
 from .parallel import (  # noqa: F401
     make_parallel_fused_step,
+    make_parallel_inference,
+    make_parallel_predict,
     make_parallel_projector_steps,
     make_parallel_regression_step,
 )

@@ -45,3 +45,21 @@ def replicate(tree, mesh: Mesh):
     """Device-put a pytree fully replicated over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_leading(tree, multiple: int):
+    """Pad every leaf's leading axis up to a multiple (edge-repeat).
+
+    Sharded inference needs the batch divisible by the data-axis size; ragged
+    final chunks are padded with copies of the last element and the caller
+    trims outputs back to `n`. Returns (padded_tree, n_original).
+    """
+    leaves = jax.tree.leaves(tree)
+    n = leaves[0].shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return tree, n
+    def _pad(x):
+        reps = np.concatenate([np.arange(n), np.full(pad, n - 1)])
+        return x[reps] if hasattr(x, "__getitem__") else x
+    return jax.tree.map(_pad, tree), n

@@ -28,7 +28,8 @@ from ..train import regression as reg
 from .mesh import DATA_AXIS
 
 __all__ = ["make_parallel_regression_step", "make_parallel_projector_steps",
-           "make_parallel_fused_step"]
+           "make_parallel_fused_step", "make_parallel_predict",
+           "make_parallel_inference"]
 
 
 def make_parallel_regression_step(cfg: RegressionConfig, mesh: Mesh):
@@ -232,3 +233,46 @@ def make_parallel_fused_step(cfg: ProjectorConfig, mesh: Mesh,
         core, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
         out_specs=(P(), P(), P(DATA_AXIS)), check_vma=False,
     ))
+
+
+def make_parallel_predict(cfg: RegressionConfig, mesh: Mesh):
+    """Data-parallel regression inference: crops sharded over the data axis.
+
+    The reference has no multi-GPU inference path (RegressionNetwork/test.py
+    is single-device); serving here weak-scales across chips. Eval-mode BN
+    reads stored statistics, so no collectives are emitted — XLA just runs
+    each shard's forward locally. The crop batch must be divisible by the
+    mesh's data-axis size (mesh.pad_leading handles ragged tails).
+    """
+
+    def core(state, crop):
+        return reg.predict(state.apply_fn, state.params, state.batch_stats, crop)
+
+    sharded = shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_parallel_inference(cfg: ProjectorConfig, mesh: Mesh, use_pallas: bool = False):
+    """Data-parallel generator synthesis (GenProjector/test.py path, sharded).
+
+    Batch dict sharded on axis 0; params/stats replicated. The guide env map
+    is rasterized on-device inside each shard, as in the single-device path.
+    """
+
+    def core(state, batch):
+        return proj.inference(state, batch, cfg, use_pallas=use_pallas)
+
+    sharded = shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -75,6 +75,25 @@ def test_train_and_test_regression_cli(laval_root, tmp_path):
     assert pred["distribution"].shape == (96,)
     assert any(f.endswith("_env.png") for f in os.listdir(res))
 
+    # --parallel: same predictions through the sharded path (batch 4 padded
+    # to the 8-device mesh)
+    res_p = tmp_path / "results_parallel"
+    test_main([
+        "--ckpt", str(ckpt), "--data_root", str(laval_root),
+        "--out_dir", str(res_p), "--anchors", "96",
+        "--block_config", "2", "--crop", "64,64", "--parallel",
+    ])
+    import numpy as np
+
+    for nm in pickles:
+        with open(res / nm, "rb") as f:
+            serial = pickle.load(f)
+        with open(res_p / nm, "rb") as f:
+            par = pickle.load(f)
+        np.testing.assert_allclose(
+            par["distribution"], serial["distribution"], rtol=1e-5, atol=1e-5
+        )
+
 
 def test_train_and_test_projector_cli(laval_root, tmp_path):
     """GAN stage end-to-end: train -> checkpoint -> resume (config snapshot
@@ -117,6 +136,17 @@ def test_train_and_test_projector_cli(laval_root, tmp_path):
     ])
     assert len(list(res.glob("*.exr"))) == 4
     assert len(list(res.glob("*.jpg"))) == 4
+
+    # --parallel synthesis over the 8-device mesh writes the same set
+    res_p = tmp_path / "res_projector_parallel"
+    test_main([
+        "--ckpt", str(ckpt), "--data_root", str(laval_root),
+        "--out_dir", str(res_p), "--load_config", str(out), "--batch", "2",
+        "--parallel",
+    ])
+    assert sorted(p.name for p in res_p.glob("*.exr")) == sorted(
+        p.name for p in res.glob("*.exr")
+    )
 
 
 def test_train_projector_cli_parallel(tmp_path):

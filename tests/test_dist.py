@@ -126,3 +126,42 @@ def test_parallel_fused_step_matches_single():
         jax.tree.leaves(ss.g_stats["batch_stats"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_parallel_predict_matches_single_device():
+    from emlight_tpu.dist import make_parallel_predict, pad_leading
+
+    mesh = make_mesh(8)
+    state = R.create_state(jax.random.PRNGKey(3), CFG)
+    batch = synthetic_regression_batch(11, 96, (32, 32), seed=4)  # ragged: 11 % 8 != 0
+    crop = jnp.asarray(batch["crop"])
+
+    single = R.predict(state.apply_fn, state.params, state.batch_stats, crop)
+
+    run = make_parallel_predict(CFG, mesh)
+    padded, n = pad_leading({"crop": np.asarray(crop)}, 8)
+    assert n == 11 and padded["crop"].shape[0] == 16
+    state_r = replicate(state, mesh)
+    pred = run(state_r, shard_batch(jnp.asarray(padded["crop"]), mesh))
+    for k in single:
+        np.testing.assert_allclose(
+            np.asarray(pred[k])[:n], np.asarray(single[k]), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_parallel_inference_matches_single_device():
+    from emlight_tpu.dist import make_parallel_inference
+
+    mesh = make_mesh(8)
+    state = P_.create_state(jax.random.PRNGKey(5), TINY_PROJ)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_projector_batch(
+            8, n_anchors=16, crop_size=32, env_hw=(32, 64), seed=6
+        ).items()
+    }
+    single = P_.inference(state, batch, TINY_PROJ)
+
+    run = make_parallel_inference(TINY_PROJ, mesh)
+    fake = run(replicate(state, mesh), shard_batch(batch, mesh))
+    np.testing.assert_allclose(np.asarray(fake), np.asarray(single), rtol=1e-5, atol=1e-5)

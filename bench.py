@@ -55,7 +55,9 @@ def _compiled_flops(jitted, *args):
 
 
 def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
-    # throughput saturates at batch 128 on v5e (64 -> 175 img/s, 128 -> 292)
+    # throughput saturates at batch 128 on v5e (64 -> 175 img/s, 128 -> 292,
+    # 256 -> 293.7): the DenseNet's small channel counts underfill the MXU
+    # regardless of batch beyond 128
     import jax
     import jax.numpy as jnp
 

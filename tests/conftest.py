@@ -58,8 +58,14 @@ import hashlib
 
 try:
     with open("/proc/cpuinfo") as _f:
-        _cpu_flags = next((l for l in _f if l.startswith("flags")), "")
-    _cpu_tag = hashlib.sha1(_cpu_flags.encode()).hexdigest()[:12]
+        _lines = _f.read().splitlines()
+    # flags alone are NOT enough: LLVM tunings like +prefer-no-gather come
+    # from the detected CPU MODEL — include the model name in the key
+    _sig = "|".join(
+        next((l for l in _lines if l.startswith(k)), "")
+        for k in ("flags", "model name")
+    )
+    _cpu_tag = hashlib.sha1(_sig.encode()).hexdigest()[:12]
 except OSError:
     _cpu_tag = "generic"
 os.environ.setdefault(

@@ -335,6 +335,53 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
     return results, mfu
 
 
+def bench_pipeline(batch_size: int = 8, steps: int = 6):
+    """Fused end-to-end inference (crop -> regression -> on-device guide
+    rasterization -> SPADE generator -> HDR env map) at flagship sizes, the
+    train/pipeline.py one-program serving path. The reference has no such
+    path at all (two scripts + hand-carried pickles); this measures the cost
+    of the WHOLE user-facing pipeline as one device program. Returns ms/batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from emlight_tpu.config import ProjectorConfig, RegressionConfig
+    from emlight_tpu.train import projector as P
+    from emlight_tpu.train import regression as R
+    from emlight_tpu.train.pipeline import pipeline_inference
+
+    reg_cfg = RegressionConfig()
+    proj_cfg = ProjectorConfig()
+    reg_state = R.create_state(jax.random.PRNGKey(0), reg_cfg)
+    proj_state = P.create_state(jax.random.PRNGKey(1), proj_cfg)
+    use_pallas = jax.devices()[0].platform == "tpu"
+
+    rng = np.random.default_rng(0)
+    crop_reg = jnp.asarray(
+        rng.random((batch_size, reg_cfg.crop_h, reg_cfg.crop_w, 3), dtype=np.float32)
+    )
+    pin = proj_cfg.crop_size // 2
+    crop_proj = jnp.asarray(
+        rng.random((batch_size, pin, pin, 3), dtype=np.float32)
+    )
+
+    def run_n(rs, ps, cr, cp):
+        def body(acc, _):
+            env, _pred = pipeline_inference(
+                rs, ps, cr + acc * 1e-30, cp, reg_cfg, proj_cfg,
+                use_pallas=use_pallas,
+            )
+            return acc + jnp.sum(env), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=steps)
+        return total
+
+    compiled = jax.jit(run_n).lower(reg_state, proj_state, crop_reg, crop_proj).compile()
+    float(compiled(reg_state, proj_state, crop_reg, crop_proj))
+    t0 = time.perf_counter()
+    float(compiled(reg_state, proj_state, crop_reg, crop_proj))
+    return (time.perf_counter() - t0) / steps * 1000
+
+
 def bench_sinkhorn(batch: int = 16, n: int = 96, reps: int = 200):
     """Sinkhorn EMD value+grad per loss call (the regression loss at reference
     shapes: bs 16, 96 anchors), XLA scanned-loop backend. A fused Pallas loop
@@ -376,11 +423,16 @@ def main():
     except Exception:
         gt_rate = gt_ref = None
     gan = None
+    pipe_ms = None
     if os.environ.get("EMLIGHT_BENCH_GAN", "1") != "0":
         try:
             gan = bench_gan()
         except Exception as e:
             print(f"# bench_gan failed: {e!r}", file=sys.stderr)
+        try:
+            pipe_ms = bench_pipeline()
+        except Exception as e:
+            print(f"# bench_pipeline failed: {e!r}", file=sys.stderr)
     try:
         sink_us = bench_sinkhorn()
     except Exception as e:
@@ -407,6 +459,9 @@ def main():
             gan_synthesis_ms_bs8=round(gan_ms["synthesis"], 1),
             gan_mfu_pct=gan_mfu or None,
         )
+    if pipe_ms is not None:
+        result["e2e_pipeline_ms_bs8"] = round(pipe_ms, 1)
+        result["e2e_pipeline_images_per_sec"] = round(8 / (pipe_ms / 1000), 1)
     if sink_us is not None:
         result["sinkhorn_us_per_call"] = round(sink_us, 1)
     print(json.dumps(result))

@@ -29,7 +29,7 @@ from .mesh import DATA_AXIS
 
 __all__ = ["make_parallel_regression_step", "make_parallel_projector_steps",
            "make_parallel_fused_step", "make_parallel_predict",
-           "make_parallel_inference"]
+           "make_parallel_inference", "make_parallel_pipeline"]
 
 
 def make_parallel_regression_step(cfg: RegressionConfig, mesh: Mesh):
@@ -253,6 +253,30 @@ def make_parallel_predict(cfg: RegressionConfig, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_parallel_pipeline(reg_cfg: RegressionConfig, proj_cfg: ProjectorConfig,
+                           mesh: Mesh, use_pallas: bool = False):
+    """Data-parallel fused two-stage inference (crop -> regression -> guide ->
+    generator), crops sharded over the data axis, both states replicated.
+    Serving weak-scales: each chip runs the full pipeline on its shard with no
+    collectives (eval-mode BN reads stored statistics)."""
+    from ..train.pipeline import pipeline_inference
+
+    def core(reg_state, proj_state, crop_reg, crop_proj):
+        return pipeline_inference(
+            reg_state, proj_state, crop_reg, crop_proj,
+            reg_cfg, proj_cfg, use_pallas=use_pallas,
+        )
+
+    sharded = shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -20,7 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .layers import instance_norm, resize_bilinear, resize_nearest, spectral_normalize
-from .sphere_conv import SphereConv2D, _count_flops, compute_dtype_of, sphere_conv_apply
+from .sphere_conv import (
+    SphereConv2D,
+    _count_flops,
+    apply_output_hook,
+    compute_dtype_of,
+    sphere_conv_apply,
+)
 
 __all__ = ["SPADE", "SPADEResnetBlock", "ConvEncoder", "SPADEGenerator", "SNConv", "SNSphereConv"]
 
@@ -62,7 +68,7 @@ class SNConv(nn.Module):
         ).astype(jnp.float32)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
-        return y
+        return apply_output_hook(y)
 
 
 class SNSphereConv(nn.Module):

@@ -160,6 +160,30 @@ def _count_flops(n: int):
         _CONV_FLOPS[0] += n
 
 
+_OUT_HOOK = None  # callable applied to every conv output at trace time
+
+
+@contextlib.contextmanager
+def conv_output_hook(fn):
+    """Apply `fn` to every conv output (sphere convs and SNConv) at trace
+    time. Used by the GSPMD auto-sharded path (dist/auto.py) to place
+    `with_sharding_constraint` on activations so channel-sharded (tensor-
+    parallel) kernels actually split the compute instead of being gathered.
+    Wrappers using this must own their jit cache (fresh jax.jit closing over
+    the context), exactly like pallas_sphere_convs."""
+    global _OUT_HOOK
+    prev = _OUT_HOOK
+    _OUT_HOOK = fn
+    try:
+        yield
+    finally:
+        _OUT_HOOK = prev
+
+
+def apply_output_hook(out: jax.Array) -> jax.Array:
+    return _OUT_HOOK(out) if _OUT_HOOK is not None else out
+
+
 _COMPUTE_DTYPE = None  # None -> full float32
 
 
@@ -243,7 +267,7 @@ def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     ):
         from .sphere_conv_vjp import sphere_conv_trainable
 
-        return sphere_conv_trainable(x, kernel, bias, stride)
+        return apply_output_hook(sphere_conv_trainable(x, kernel, bias, stride))
     b, h, w, cin = x.shape
     idx, wgt, (ho, wo) = sphere_taps(h, w, stride)
     dt = compute_dtype_of(x)
@@ -265,7 +289,7 @@ def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     out, _ = jax.lax.scan(body, out0, (idx_t, wgt_t, kflat))
     if bias is not None:
         out = out + bias
-    return out.reshape(b, ho, wo, -1)
+    return apply_output_hook(out.reshape(b, ho, wo, -1))
 
 
 class SphereConv2D(nn.Module):

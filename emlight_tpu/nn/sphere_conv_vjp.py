@@ -303,6 +303,136 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
     return dx
 
 
+def _dk_kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, g_ref, dk_ref,
+               win_ref, s_ref, sems, *, br: int, w: int, win_rows: int,
+               stride: int, h: int):
+    """dK[t] += s_t(x)ᵀ @ g, one row block per grid step.
+
+    The staging of the per-tap sampled block s_t mirrors the forward kernel
+    exactly (same halo window, same roll-per-neighbor), so the input is read
+    from HBM once — the XLA gather formulation (_dk_gather) re-reads it 36x.
+    The dk output block has a constant index_map: it stays resident in VMEM
+    and accumulates across the whole (batch, row-block) grid."""
+    rb = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    src0 = rb * br * stride
+    start = jnp.clip(src0 - 2, 0, h - win_rows)
+
+    w_in = win_ref.shape[1]
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref, sems.at[0]
+    )
+    dma.start()
+
+    @pl.when(jnp.logical_and(b_idx == 0, rb == 0))
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+
+    dma.wait()
+    cin = win_ref.shape[-1]
+    cout = g_ref.shape[-1]
+    gmat = g_ref[0].reshape(br * w, cout)
+
+    def tap_body(t, _):
+        def row_body(ii, _):
+            s_row = jnp.zeros((w, cin), win_ref.dtype)
+
+            def nb_body(k, s_row):
+                r_local = rows_ref[0, ii, t, k] - start
+                shift = shifts_ref[0, ii, t, k]
+                row = win_ref[r_local]
+                if row.dtype != jnp.float32:
+                    shifted = pltpu.roll(
+                        row.astype(jnp.float32), w_in - shift, 0
+                    ).astype(row.dtype)
+                else:
+                    shifted = pltpu.roll(row, w_in - shift, 0)
+                if stride > 1:
+                    shifted = shifted.reshape(w, stride, cin)[:, 0, :]
+                return s_row + wcol_ref[ii, t, k] * shifted
+
+            s_ref[ii] = jax.lax.fori_loop(0, 4, nb_body, s_row)
+            return 0
+
+        jax.lax.fori_loop(0, br, row_body, 0)
+        smat = s_ref[:].reshape(br * w, cin)
+        dk_ref[t] += jax.lax.dot_general(
+            smat, gmat.astype(smat.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, 9, tap_body, 0)
+
+
+def _dk_pallas(x: jax.Array, g: jax.Array, stride: int = 1,
+               block_rows: int = 8, cout_block: int = 128,
+               interpret: bool | None = None) -> jax.Array:
+    """dK (3, 3, Cin, Cout) from x (B, H, W, Cin) and cotangent g (B, Ho, Wo, Cout)."""
+    b, h, w, cin0 = x.shape
+    cout0 = g.shape[-1]
+    dt = compute_dtype_of(x)
+    if dt not in (jnp.float32, jnp.bfloat16):
+        dt = jnp.float32
+    # in-kernel dynamic rotate needs full 128-lane tiles on the x window
+    cin = cin0
+    if cin < 128:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - cin)))
+        cin = 128
+    cout = cout0
+    if cout < 8:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, 8 - cout)))
+        cout = 8
+
+    rows_c, shift_c, wcol = structured_tables(h, w, stride)
+    ho, wo = wcol.shape[0], wcol.shape[3]
+    br = min(block_rows, ho)
+    if ho % br:
+        raise ValueError(f"ho={ho} not divisible by block_rows={br}")
+    cb = min(cout_block, cout)
+    if cout % cb:
+        cb = cout
+    win_rows = min(br * stride + 4, h)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    dk = pl.pallas_call(
+        functools.partial(
+            _dk_kernel, br=br, w=wo, win_rows=win_rows, stride=stride, h=h
+        ),
+        grid=(b, ho // br, cout // cb),
+        in_specs=[
+            pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, 9, 4, wo, 1), lambda bb, rb, cb_: (rb, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x in HBM, DMA'd
+            pl.BlockSpec((1, br, wo, cb), lambda bb, rb, cb_: (bb, rb, 0, cb_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9, cin, cb), lambda bb, rb, cb_: (0, 0, cb_),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, w, cin), dt),
+            pltpu.VMEM((br, wo, cin), dt),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(rows_c)[None], jnp.asarray(shift_c)[None],
+        jnp.asarray(wcol).astype(dt),
+        x.astype(dt), g.astype(dt),
+    )
+    return dk[:, :cin0, :cout0].reshape(3, 3, cin0, cout0)
+
+
 def _dk_gather(x: jax.Array, g: jax.Array, cout: int, stride: int = 1) -> jax.Array:
     """dK via the XLA gather formulation: dK[t] = Σ sampled_tᵀ g."""
     b, h, w, cin = x.shape
@@ -339,7 +469,10 @@ def _bwd(stride, res, g):
     assert stride in (1, 2), "trainable pallas path covers stride 1 and 2"
     x, kernel, has_bias = res
     dx = _dx_pallas(g, kernel, x.shape, stride)
-    dk = _dk_gather(x, g, g.shape[-1], stride)
+    # stride 1: fused dk reads x once (gather re-reads 36x) — 1.9x f32 /
+    # 1.3-1.4x bf16 at >=64x128. stride 2 measures 0.4-0.9x (the halo window
+    # doubles and the cin=3 discriminator front pads to 128 lanes): gather.
+    dk = _dk_pallas(x, g, stride) if stride == 1 else _dk_gather(x, g, g.shape[-1], stride)
     db = g.sum(axis=(0, 1, 2)) if has_bias else None
     return dx, dk, db
 

@@ -100,3 +100,38 @@ def test_dx_umajor_kernel_matches_gather(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4, err_msg=name
         )
+
+
+@pytest.mark.parametrize("cin,cout", [(3, 5), (8, 16), (130, 12)])
+def test_dk_pallas_matches_gather(cin, cout):
+    """The fused dk kernel (forward-mirrored staging, grid-accumulated
+    output) vs the XLA gather formulation, incl. lane-padding edge cases:
+    cin<128 zero-pads (padded rows must come back zero and be sliced off),
+    cout<8 pads the cotangent, cin>128 runs unpadded."""
+    from emlight_tpu.nn.sphere_conv_vjp import _dk_gather, _dk_pallas
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 32, cin), dtype=np.float32))
+    g = jnp.asarray(rng.standard_normal((2, 16, 32, cout), dtype=np.float32))
+    ref = np.asarray(_dk_gather(x, g, cout, 1))
+    got = np.asarray(_dk_pallas(x, g, 1))
+    assert got.shape == (3, 3, cin, cout)
+    # different f32 reduction orders (einsum vs grid-accumulated matmuls)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_dk_pallas_bf16_accumulates_f32():
+    from emlight_tpu.nn.sphere_conv import conv_compute_dtype
+    from emlight_tpu.nn.sphere_conv_vjp import _dk_gather, _dk_pallas
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 16, 32, 8), dtype=np.float32))
+    g = jnp.asarray(rng.standard_normal((2, 16, 32, 16), dtype=np.float32))
+    with conv_compute_dtype(jnp.bfloat16):
+        got = _dk_pallas(x, g, 1)
+        ref = np.asarray(_dk_gather(x, g, 16, 1))  # same bf16 sampling dtype
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=0.02, atol=0.05)
+    # and the bf16 result tracks the f32 one (f32 accumulation did its job)
+    ref32 = np.asarray(_dk_gather(x, g, 16, 1))
+    np.testing.assert_allclose(np.asarray(got), ref32, rtol=0.05, atol=0.5)

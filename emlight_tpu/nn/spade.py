@@ -114,8 +114,13 @@ class SPADE(nn.Module):
             )(x)
         seg = resize_nearest(segmap, x.shape[1:3])
         a = nn.relu(SphereConv2D(self.nhidden, name="mlp_shared")(seg))
-        gamma = SphereConv2D(x.shape[-1], name="mlp_gamma")(a)
-        beta = SphereConv2D(x.shape[-1], name="mlp_beta")(a)
+        # gamma and beta convs share the input: ONE conv with 2C outputs is
+        # bit-exact (each output channel is independent; same kaiming fan_in)
+        # and halves the dominant cost — the sphere-sampling staging, which
+        # the profile puts at 42% of the G step when done twice per norm.
+        # torch_import._spade concatenates the reference's two kernels.
+        gamma_beta = SphereConv2D(2 * x.shape[-1], name="mlp_gammabeta")(a)
+        gamma, beta = jnp.split(gamma_beta, 2, axis=-1)
         return normalized * (1 + gamma) + beta
 
 

@@ -136,14 +136,20 @@ def _sn_conv(sd, prefix):
 
 def _spade(sd, prefix):
     """SPADE norm: SphereConv mlps + param-free BN running stats."""
+    gamma = _conv(sd, f"{prefix}.mlp_gamma")
+    beta = _conv(sd, f"{prefix}.mlp_beta")
     params = {
         "mlp_shared": _conv(sd, f"{prefix}.mlp_shared.0"),
-        "mlp_gamma": _conv(sd, f"{prefix}.mlp_gamma"),
-        "mlp_beta": _conv(sd, f"{prefix}.mlp_beta"),
+        # the flax SPADE fuses the gamma/beta convs (same input) into one
+        # 2C-output conv — concatenate the reference's kernels/biases
+        "mlp_gammabeta": {
+            "kernel": np.concatenate([gamma["kernel"], beta["kernel"]], axis=-1),
+            "bias": np.concatenate(
+                [sd[f"{prefix}.mlp_gamma.bias"], sd[f"{prefix}.mlp_beta.bias"]]
+            ),
+        },
     }
     params["mlp_shared"]["bias"] = sd[f"{prefix}.mlp_shared.0.bias"]
-    params["mlp_gamma"]["bias"] = sd[f"{prefix}.mlp_gamma.bias"]
-    params["mlp_beta"]["bias"] = sd[f"{prefix}.mlp_beta.bias"]
     stats = {
         "param_free_norm": {
             "mean": sd[f"{prefix}.param_free_norm.running_mean"],

@@ -102,7 +102,7 @@ class SPADE(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, segmap, train: bool = False):
+    def __call__(self, x, segmap, train: bool = False, shared_a=None):
         if self.norm_type == "instance":
             normalized = instance_norm(x)
         else:
@@ -112,14 +112,17 @@ class SPADE(nn.Module):
                 use_scale=False, use_bias=False, axis_name=axis,
                 name="param_free_norm",
             )(x)
-        seg = resize_nearest(segmap, x.shape[1:3])
-        a = nn.relu(SphereConv2D(self.nhidden, name="mlp_shared")(seg))
+        if shared_a is None:
+            # standalone path; SPADEResnetBlock passes this norm's slice of
+            # its block-level fused mlp_shared conv instead (same math)
+            seg = resize_nearest(segmap, x.shape[1:3])
+            shared_a = nn.relu(SphereConv2D(self.nhidden, name="mlp_shared")(seg))
         # gamma and beta convs share the input: ONE conv with 2C outputs is
         # bit-exact (each output channel is independent; same kaiming fan_in)
         # and halves the dominant cost — the sphere-sampling staging, which
         # the profile puts at 42% of the G step when done twice per norm.
         # torch_import._spade concatenates the reference's two kernels.
-        gamma_beta = SphereConv2D(2 * x.shape[-1], name="mlp_gammabeta")(a)
+        gamma_beta = SphereConv2D(2 * x.shape[-1], name="mlp_gammabeta")(shared_a)
         gamma, beta = jnp.split(gamma_beta, 2, axis=-1)
         return normalized * (1 + gamma) + beta
 
@@ -132,25 +135,43 @@ class SPADEResnetBlock(nn.Module):
     fout: int
     norm_type: str = "syncbatch"
     axis_name: str | None = None
+    nhidden: int = 128
 
     @nn.compact
     def __call__(self, x, seg, train: bool = False):
         fin = x.shape[-1]
         fmiddle = min(fin, self.fout)
         learned_shortcut = fin != self.fout
-        spade = lambda name: SPADE(self.norm_type, axis_name=self.axis_name, name=name)
+        spade = lambda name: SPADE(
+            self.norm_type, nhidden=self.nhidden, axis_name=self.axis_name, name=name
+        )
+
+        # Every norm in the block resizes the SAME guide to the SAME spatial
+        # dims (x and dx share them; stride-1 convs throughout) and runs its
+        # own cin=3 mlp_shared sphere conv on it. ONE conv with
+        # n_norms*nhidden outputs is bit-exact (independent output channels,
+        # and the kaiming init bound depends only on cin) and does the
+        # sphere-sampling staging once instead of 2-3x — at high resolution
+        # the staging, not the matmul, is the cost (the Pallas kernel pads
+        # cin=3 to the 128-lane tile). torch_import._block concatenates the
+        # reference's per-norm mlp_shared kernels in (norm_0, norm_1, norm_s)
+        # order.
+        n_norms = 3 if learned_shortcut else 2
+        seg_r = resize_nearest(seg, x.shape[1:3])
+        a_all = nn.relu(SphereConv2D(n_norms * self.nhidden, name="mlp_shared")(seg_r))
+        a = jnp.split(a_all, n_norms, axis=-1)  # norm_0, norm_1[, norm_s]
 
         if learned_shortcut:
             x_s = SNSphereConv(self.fout, name="conv_s")(
-                spade("norm_s")(x, seg, train), update_u=train
+                spade("norm_s")(x, seg, train, shared_a=a[2]), update_u=train
             )
         else:
             x_s = x
         dx = SNSphereConv(fmiddle, name="conv_0")(
-            _lrelu(spade("norm_0")(x, seg, train)), update_u=train
+            _lrelu(spade("norm_0")(x, seg, train, shared_a=a[0])), update_u=train
         )
         dx = SNSphereConv(self.fout, name="conv_1")(
-            _lrelu(spade("norm_1")(dx, seg, train)), update_u=train
+            _lrelu(spade("norm_1")(dx, seg, train, shared_a=a[1])), update_u=train
         )
         return x_s + dx
 

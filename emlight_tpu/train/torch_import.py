@@ -135,11 +135,14 @@ def _sn_conv(sd, prefix):
 
 
 def _spade(sd, prefix):
-    """SPADE norm: SphereConv mlps + param-free BN running stats."""
+    """SPADE norm: gamma/beta SphereConvs + param-free BN running stats.
+
+    The per-norm mlp_shared conv lives at the BLOCK level in the flax graph
+    (one fused conv per SPADEResnetBlock) — see _block_mlp_shared.
+    """
     gamma = _conv(sd, f"{prefix}.mlp_gamma")
     beta = _conv(sd, f"{prefix}.mlp_beta")
     params = {
-        "mlp_shared": _conv(sd, f"{prefix}.mlp_shared.0"),
         # the flax SPADE fuses the gamma/beta convs (same input) into one
         # 2C-output conv — concatenate the reference's kernels/biases
         "mlp_gammabeta": {
@@ -149,7 +152,6 @@ def _spade(sd, prefix):
             ),
         },
     }
-    params["mlp_shared"]["bias"] = sd[f"{prefix}.mlp_shared.0.bias"]
     stats = {
         "param_free_norm": {
             "mean": sd[f"{prefix}.param_free_norm.running_mean"],
@@ -157,6 +159,22 @@ def _spade(sd, prefix):
         }
     }
     return params, stats
+
+
+def _block_mlp_shared(sd, block, norms):
+    """Fuse the reference's per-norm mlp_shared convs (same resized-guide
+    input within a block) into the flax block-level conv: concatenate
+    kernels/biases on the output-channel axis in (norm_0, norm_1[, norm_s])
+    order — the SPADEResnetBlock split order."""
+    kernels, biases = [], []
+    for nrm in norms:
+        c = _conv(sd, f"{block}.{nrm}.mlp_shared.0")
+        kernels.append(c["kernel"])
+        biases.append(sd[f"{block}.{nrm}.mlp_shared.0.bias"])
+    return {
+        "kernel": np.concatenate(kernels, axis=-1),
+        "bias": np.concatenate(biases),
+    }
 
 
 def import_generator_state_dict(sd: dict[str, np.ndarray] | str, ngf: int = 64):
@@ -175,8 +193,10 @@ def import_generator_state_dict(sd: dict[str, np.ndarray] | str, ngf: int = 64):
         convs = ["conv_0", "conv_1"] + (["conv_s"] if f"{b}.conv_s.weight_orig" in sd else [])
         for c in convs:
             bp[c], bu[c] = _sn_conv(sd, f"{b}.{c}")
-        for nrm in ["norm_0", "norm_1"] + (["norm_s"] if f"{b}.norm_s.mlp_gamma.weight" in sd else []):
+        norms = ["norm_0", "norm_1"] + (["norm_s"] if f"{b}.norm_s.mlp_gamma.weight" in sd else [])
+        for nrm in norms:
             bp[nrm], bs[nrm] = _spade(sd, f"{b}.{nrm}")
+        bp["mlp_shared"] = _block_mlp_shared(sd, b, norms)
         params[b] = bp
         batch_stats[b] = bs
         spectral[b] = bu

@@ -231,16 +231,21 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
     """GAN train-step (G and D) and generator-synthesis times at flagship
     size (128x256 env maps, ngf=ndf=64, the train_laval.sh architecture),
     measured as on-device scans of the real jitted step bodies with the fused
-    Pallas sphere-conv path on. Returns ({step name: ms}, mfu_dict)."""
+    Pallas sphere-conv path on, in the recommended production config
+    (bf16 conv compute, f32 params/norms/accumulation — BASELINE.md records
+    bf16 tracking f32 loss-for-loss through the same number of steps).
+    Returns ({step name: ms}, mfu_dict)."""
     import jax
     import jax.numpy as jnp
 
     from emlight_tpu.config import ProjectorConfig
-    from emlight_tpu.nn.sphere_conv import pallas_sphere_convs
     from emlight_tpu.train import projector as P
     from emlight_tpu.train.data import synthetic_projector_batch
 
-    cfg = dataclasses.replace(ProjectorConfig(), batch_size=batch_size, use_vgg_loss=False)
+    cfg = dataclasses.replace(
+        ProjectorConfig(), batch_size=batch_size, use_vgg_loss=False,
+        dtype="bfloat16",
+    )
     state = P.create_state(jax.random.PRNGKey(0), cfg)
     batch = {
         k: jnp.asarray(v)
@@ -253,7 +258,9 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
 
     def scan_steps(body_out_state):
         def run_n(st, b):
-            with pallas_sphere_convs(use_pallas):
+            # the same trace-time contexts the trainers use: Pallas kernel
+            # dispatch + bf16 conv compute (cfg.dtype), f32 accumulation
+            with P.compute_ctx(cfg, use_pallas):
                 def body(carry, _):
                     st2, metric = body_out_state(carry, b)
                     return st2, metric
@@ -277,7 +284,7 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
     from emlight_tpu.train.projector import make_guide
 
     def run_synth(st, b):
-        with pallas_sphere_convs(use_pallas):
+        with P.compute_ctx(cfg, use_pallas):
             guide = make_guide(b, cfg)
             variables = {"params": st.g_params, **st.g_stats}
 
@@ -458,6 +465,7 @@ def main():
             gan_fused_step_ms_bs8=round(gan_ms["fused_step"], 1),
             gan_synthesis_ms_bs8=round(gan_ms["synthesis"], 1),
             gan_mfu_pct=gan_mfu or None,
+            gan_dtype="bfloat16",
         )
     if pipe_ms is not None:
         result["e2e_pipeline_ms_bs8"] = round(pipe_ms, 1)

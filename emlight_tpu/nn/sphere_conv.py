@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SphereConv2D", "SphereMaxPool2D", "sphere_taps", "sphere_gather"]
+__all__ = ["SphereConv2D", "SphereMaxPool2D", "sphere_taps", "sphere_gather",
+           "sphere_conv_gather"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -268,6 +269,12 @@ def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
         from .sphere_conv_vjp import sphere_conv_trainable
 
         return apply_output_hook(sphere_conv_trainable(x, kernel, bias, stride))
+    return apply_output_hook(sphere_conv_gather(x, kernel, bias, stride))
+
+
+def sphere_conv_gather(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
+                       stride: int = 1) -> jax.Array:
+    """The raw XLA gather formulation (no dispatch, no output hook)."""
     b, h, w, cin = x.shape
     idx, wgt, (ho, wo) = sphere_taps(h, w, stride)
     dt = compute_dtype_of(x)
@@ -289,7 +296,7 @@ def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     out, _ = jax.lax.scan(body, out0, (idx_t, wgt_t, kflat))
     if bias is not None:
         out = out + bias
-    return apply_output_hook(out.reshape(b, ho, wo, -1))
+    return out.reshape(b, ho, wo, -1)
 
 
 class SphereConv2D(nn.Module):

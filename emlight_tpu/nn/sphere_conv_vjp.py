@@ -34,10 +34,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sphere_conv import compute_dtype_of, sphere_taps
+from .sphere_conv import compute_dtype_of, sphere_conv_gather, sphere_taps
 from .sphere_conv_pallas import sphere_conv_pallas, structured_tables
 
 __all__ = ["sphere_conv_trainable"]
+
+# Per-shape dispatch thresholds (measured on v5e, bs8 bf16, 128x256 — see
+# BASELINE.md microbench row). The fused kernels pad cin to the 128-lane
+# tile, so small-cin convs (the SPADE guide branch's cin=3 mlp_shared) pay
+# full-width staging for 3 real channels and the XLA gather formulation wins
+# there: fwd 3->384 21.2 vs 27.6 ms, dk 3->384 10.8 vs 26.3 ms. For dk the
+# gather also edges out the kernel at wide cout (128->256: 18.5 vs 20.2 ms,
+# the extra cout tiles grow the in-VMEM g window) while the kernel wins at
+# cout<=128 (64->64: 12.8 vs 16.3).
+_PALLAS_FWD_MIN_CIN = 32
+_PALLAS_DK_MIN_CIN = 32
+_PALLAS_DK_MAX_COUT = 128
 
 _MAX_FANIN = 64  # padded (i, t, k) triple count per input row (measured <= ~40)
 
@@ -455,24 +467,41 @@ def _dk_gather(x: jax.Array, g: jax.Array, cout: int, stride: int = 1) -> jax.Ar
     return dk.reshape(3, 3, cin, cout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def sphere_conv_trainable(x, kernel, bias, stride: int = 1):
-    """Sphere conv with Pallas forward AND Pallas dx backward (stride 1/2)."""
+def _fwd_impl(x, kernel, bias, stride):
+    if x.shape[-1] < _PALLAS_FWD_MIN_CIN:
+        return sphere_conv_gather(x, kernel, bias, stride)
     return sphere_conv_pallas(x, kernel, bias, stride)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sphere_conv_trainable(x, kernel, bias, stride: int = 1):
+    """Sphere conv with per-shape-dispatched forward and backward kernels.
+
+    Wrapping even the gather-formulation forward in this custom VJP matters:
+    the dx Pallas call is a pure custom-call XLA can dead-code-eliminate when
+    the input cotangent is unused (the SPADE guide branch — its input is the
+    constant rasterized guide), whereas autodiff of the scanned gather would
+    bury the dx work inside the backward scan where it can't be pruned.
+    """
+    return _fwd_impl(x, kernel, bias, stride)
+
+
 def _fwd(x, kernel, bias, stride):
-    return sphere_conv_pallas(x, kernel, bias, stride), (x, kernel, bias is not None)
+    return _fwd_impl(x, kernel, bias, stride), (x, kernel, bias is not None)
 
 
 def _bwd(stride, res, g):
     assert stride in (1, 2), "trainable pallas path covers stride 1 and 2"
     x, kernel, has_bias = res
     dx = _dx_pallas(g, kernel, x.shape, stride)
-    # stride 1: fused dk reads x once (gather re-reads 36x) — 1.9x f32 /
-    # 1.3-1.4x bf16 at >=64x128. stride 2 measures 0.4-0.9x (the halo window
-    # doubles and the cin=3 discriminator front pads to 128 lanes): gather.
-    dk = _dk_pallas(x, g, stride) if stride == 1 else _dk_gather(x, g, g.shape[-1], stride)
+    # stride 2 measures 0.4-0.9x in the fused dk (the halo window doubles and
+    # the cin=3 discriminator front pads to 128 lanes): always gather there.
+    use_pallas_dk = (
+        stride == 1
+        and x.shape[-1] >= _PALLAS_DK_MIN_CIN
+        and g.shape[-1] <= _PALLAS_DK_MAX_COUT
+    )
+    dk = _dk_pallas(x, g, stride) if use_pallas_dk else _dk_gather(x, g, g.shape[-1], stride)
     db = g.sum(axis=(0, 1, 2)) if has_bias else None
     return dx, dk, db
 

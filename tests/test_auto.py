@@ -8,11 +8,20 @@ tensor-parallel collectives implied by channel-sharded conv kernels
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# runs in a fresh interpreter via test_gspmd_isolated.py (XLA:CPU collectives
+# can abort/deadlock a long-lived multi-module process — see conftest.py);
+# run directly with EMLIGHT_GSPMD_CHILD=1 pytest tests/test_auto.py
+pytestmark = pytest.mark.skipif(
+    os.environ.get("EMLIGHT_GSPMD_CHILD") != "1",
+    reason="driven out-of-process by test_gspmd_isolated.py",
+)
 
 from emlight_tpu.config import AnchorConfig, ProjectorConfig, RegressionConfig, SinkhornConfig
 from emlight_tpu.dist import (

@@ -6,11 +6,20 @@ reproduce single-device training on the same global batch.
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# runs in a fresh interpreter via test_gspmd_isolated.py (XLA:CPU collectives
+# can abort/deadlock a long-lived multi-module process — see conftest.py);
+# run directly with EMLIGHT_GSPMD_CHILD=1 pytest tests/test_dist.py
+pytestmark = pytest.mark.skipif(
+    os.environ.get("EMLIGHT_GSPMD_CHILD") != "1",
+    reason="driven out-of-process by test_gspmd_isolated.py",
+)
 
 from emlight_tpu.config import AnchorConfig, ProjectorConfig, RegressionConfig, SinkhornConfig
 from emlight_tpu.dist import make_mesh, make_parallel_projector_steps, make_parallel_regression_step, shard_batch, replicate

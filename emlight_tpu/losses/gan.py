@@ -7,6 +7,8 @@ models/pix2pix_model.py:92-141:
   pix2pix_model.py:111-116), with the mask re-interpolated sequentially from
   the previous scale exactly as the reference's loop mutates `map`
 - per-pixel cosine-similarity loss (pix2pix_model.py:95,122)
+- VAE KL divergence (loss.py:118-120) — dead surface upstream (only reachable
+  via SPADE's --use_vae, which EMLight never sets), kept for API parity
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ import jax.numpy as jnp
 
 from ..nn.layers import resize_nearest
 
-__all__ = ["gan_loss", "feature_matching_loss", "cosine_loss"]
+__all__ = ["gan_loss", "feature_matching_loss", "cosine_loss", "kld_loss"]
 
 
 def _single_gan_loss(x, target_is_real: bool, for_discriminator: bool, mode: str):
@@ -91,3 +93,14 @@ def cosine_loss(fake, real, eps: float = 1e-20):
     den = jnp.sqrt(jnp.where(safe, prod, 1.0))
     cos = jnp.where(safe, num / jnp.maximum(den, eps), 0.0)
     return jnp.mean(1.0 - cos)
+
+
+def kld_loss(mu, logvar):
+    """VAE KL divergence -0.5 * sum(1 + logvar - mu^2 - exp(logvar)).
+
+    Reference: GenProjector/models/networks/loss.py:118-120. Dead code
+    upstream (applied only under SPADE's --use_vae flag, which EMLight's
+    fork never sets; the ConvEncoder runs deterministically), implemented
+    for API parity.
+    """
+    return -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))

@@ -102,3 +102,18 @@ def test_spherical_sampling_matches_bruteforce():
     for n in (0, 17, 63):
         d = np.linalg.norm(dirs - pts[n], axis=1)
         np.testing.assert_array_equal(ids[n], np.argsort(d)[:3])
+
+
+def test_kld_loss_matches_torch_reference():
+    """kld_loss vs the reference formula (loss.py:118-120) evaluated in torch."""
+    import torch
+
+    from emlight_tpu.losses.gan import kld_loss
+
+    rng = np.random.default_rng(3)
+    mu = rng.normal(size=(4, 256)).astype(np.float32)
+    logvar = rng.normal(size=(4, 256)).astype(np.float32)
+    tmu, tlv = torch.from_numpy(mu), torch.from_numpy(logvar)
+    want = float(-0.5 * torch.sum(1 + tlv - tmu.pow(2) - tlv.exp()))
+    got = float(kld_loss(jnp.asarray(mu), jnp.asarray(logvar)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

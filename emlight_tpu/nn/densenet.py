@@ -26,7 +26,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ["DenseNet", "RegressionOutput"]
+__all__ = ["DenseNet", "RegressionOutput", "fold_eval_variables"]
 
 
 class _DenseLayer(nn.Module):
@@ -35,6 +35,7 @@ class _DenseLayer(nn.Module):
     drop_rate: float = 0.0
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False  # eval fast path: norm2 pre-folded into conv2 (+bias)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -46,16 +47,23 @@ class _DenseLayer(nn.Module):
             dtype=self.dtype,
             name=name,
         )
-        conv = lambda feats, k, name: nn.Conv(
-            feats, (k, k), padding=(k - 1) // 2, use_bias=False,
+        conv = lambda feats, k, name, bias=False: nn.Conv(
+            feats, (k, k), padding=(k - 1) // 2, use_bias=bias,
             dtype=self.dtype, name=name,
         )
         h = bn("norm1")(x)
         h = nn.relu(h)
         if self.bn_size > 0:
             h = conv(4 * self.growth_rate, 1, "conv1")(h)
-            h = bn("norm2")(h)
-            h = conv(self.growth_rate, 3, "conv2")(h)
+            if self.fold_bn:
+                # norm2 has no nonlinearity before conv2 (the reference's
+                # layer order, DenseNet.py:30-46) -> at eval it is an affine
+                # map foldable into conv2's kernel + a bias
+                # (fold_eval_variables does the parameter transform)
+                h = conv(self.growth_rate, 3, "conv2", bias=True)(h)
+            else:
+                h = bn("norm2")(h)
+                h = conv(self.growth_rate, 3, "conv2")(h)
         else:
             h = conv(self.growth_rate, 3, "conv2")(h)
         if self.drop_rate > 0:
@@ -103,9 +111,11 @@ class DenseNet(nn.Module):
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32  # compute dtype; params stay f32
     remat: bool = False  # rematerialize dense layers (training memory + XLA graph size)
+    fold_bn: bool = False  # inference fast path; pair with fold_eval_variables
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> RegressionOutput:
+        assert not (self.fold_bn and train), "fold_bn is an eval-only transform"
         x = x.astype(self.dtype)
         layer_cls = (
             nn.remat(_DenseLayer, static_argnums=(2,)) if self.remat else _DenseLayer
@@ -127,6 +137,7 @@ class DenseNet(nn.Module):
                 x = layer_cls(
                     self.growth_rate, self.bn_size, self.drop_rate,
                     axis_name=self.axis_name, dtype=self.dtype,
+                    fold_bn=self.fold_bn,
                     name=f"denseblock{i + 1}_denselayer{j + 1}",
                 )(x, train)
             num_features += num_layers * self.growth_rate
@@ -151,3 +162,36 @@ class DenseNet(nn.Module):
             "rgb_ratio": nn.Dense(3, name="fc_rgb_ratio")(x),
             "ambient": nn.Dense(3, name="fc_ambient")(x),
         }
+
+
+def fold_eval_variables(params, batch_stats, eps: float = 1e-5):
+    """Fold every dense layer's norm2 into its conv2 for DenseNet(fold_bn=True).
+
+    norm2 -> conv2 has no nonlinearity between them (the reference's layer
+    order, RegressionNetwork/DenseNet.py:30-46), so in eval mode
+    conv2(norm2(h)) == conv2'(h) with the BN affine absorbed into the kernel
+    plus a bias: a pure parameter transform, exact up to f32 reassociation.
+    Returns (params', batch_stats') consumable by the fold_bn=True module;
+    any checkpoint (trained or imported from torch) folds the same way.
+    """
+    import jax.numpy as jnp
+
+    p = {k: v for k, v in params.items()}
+    s = {k: v for k, v in batch_stats.items()}
+    for name in list(p):
+        if "_denselayer" not in name or "norm2" not in p[name]:
+            continue
+        layer = dict(p[name])
+        stats = dict(s[name])
+        a = layer["norm2"]["scale"] / jnp.sqrt(stats["norm2"]["var"] + eps)
+        b = layer["norm2"]["bias"] - stats["norm2"]["mean"] * a
+        k = layer["conv2"]["kernel"]  # (3, 3, cin, cout)
+        layer["conv2"] = {
+            "kernel": k * a[None, None, :, None],
+            "bias": jnp.einsum("hwio,i->o", k, b),
+        }
+        del layer["norm2"]
+        del stats["norm2"]
+        p[name] = layer
+        s[name] = stats
+    return p, s

@@ -22,6 +22,7 @@ import numpy as np
 __all__ = [
     "VGG19Features",
     "load_vgg19_params",
+    "random_vgg19_params",
     "export_torchvision_weights",
     "vgg_perceptual_loss",
     "VGG_SLICE_WEIGHTS",
@@ -84,6 +85,33 @@ def load_vgg19_params(path: str | None = None):
             "kernel": jnp.asarray(data[f"conv{i}_kernel"]),
             "bias": jnp.asarray(data[f"conv{i}_bias"]),
         }
+    return {"params": params}
+
+
+def random_vgg19_params(seed: int = 0):
+    """Random-init {params} with the pretrained layout/shapes.
+
+    Perf-identical to pretrained weights (same graph, same FLOPs), so the
+    GAN can be trained/benchmarked WITH the reference's VGG x5 term
+    (pix2pix_model.py:120) in images where the torchvision weights don't
+    exist. Not a substitute for the pretrained perceptual metric — a
+    random-feature L1 is a valid (weaker) perceptual proxy, but the
+    reference's loss values won't match.
+    """
+    rng = np.random.default_rng(seed)
+    params = {}
+    cin = 3
+    for i in range(_SLICE_CONVS[-1]):
+        cout = _WIDTHS[i]
+        # He-normal fan-in init, the torchvision conv default family
+        std = float(np.sqrt(2.0 / (9 * cin)))
+        params[f"conv{i}"] = {
+            "kernel": jnp.asarray(
+                rng.normal(0.0, std, (3, 3, cin, cout)).astype(np.float32)
+            ),
+            "bias": jnp.zeros((cout,), jnp.float32),
+        }
+        cin = cout
     return {"params": params}
 
 

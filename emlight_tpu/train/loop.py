@@ -90,6 +90,13 @@ class IterationTimer:
         if len(self._times) > 200:
             self._times = self._times[-200:]
 
+    def add(self, n: int, total_time: float) -> None:
+        """Account n iterations that ran inside one dispatch (--scan_steps)."""
+        self._times.extend([total_time / n] * n)
+        self.step += n
+        if len(self._times) > 200:
+            self._times = self._times[-200:]
+
     def stats(self) -> dict:
         if not self._times:
             return {}

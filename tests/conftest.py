@@ -40,8 +40,8 @@ def _restore_stdio_from_parent() -> None:
 # isolation + retry for the collective-heavy modules (test_gspmd_isolated.py,
 # same pattern test_vgg.py already uses for jaxlib's JIT-state segfault).
 _COLLECTIVE_TIMEOUT_FLAGS = (
-    " --xla_cpu_collective_call_terminate_timeout_seconds=300"
-    " --xla_cpu_collective_timeout_seconds=300"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=120"
+    " --xla_cpu_collective_timeout_seconds=120"
 )
 
 if (
@@ -79,10 +79,12 @@ try:
     with open("/proc/cpuinfo") as _f:
         _lines = _f.read().splitlines()
     # flags alone are NOT enough: LLVM tunings like +prefer-no-gather come
-    # from the detected CPU MODEL — include the model name in the key
+    # from the detected CPU (cpuid family/model/stepping), and virtualized
+    # hosts can report identical "model name" strings with different cpuids —
+    # key on all of them
     _sig = "|".join(
         next((l for l in _lines if l.startswith(k)), "")
-        for k in ("flags", "model name")
+        for k in ("flags", "model name", "cpu family", "model\t", "stepping")
     )
     _cpu_tag = hashlib.sha1(_sig.encode()).hexdigest()[:12]
 except OSError:
@@ -118,7 +120,7 @@ def _clear_jax_caches_between_modules():
     gc.collect()
 
 
-def run_module_isolated(path: str, attempts: int = 2, timeout: int = 2400) -> None:
+def run_module_isolated(path: str, attempts: int = 2, timeout: int = 420) -> None:
     """Run a test module in a fresh interpreter, retrying on crash.
 
     For the collective-heavy GSPMD modules: XLA:CPU's in-process rendezvous

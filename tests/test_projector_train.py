@@ -135,3 +135,50 @@ def test_fused_step_matches_alternating_grads(state0):
     for i in range(3):
         s, m, _ = P.fused_gan_step(s, _batch(12 + i), TINY)
         assert all(np.isfinite(float(v)) for v in m.values())
+
+
+def test_scanned_fused_steps_match_iterated(state0):
+    """--scan_steps math: N fused steps under one lax.scan must reproduce the
+    iterated fused_gan_step trajectory.
+
+    Tolerances are in Adam-update units, NOT float epsilons: the scanned and
+    standalone step bodies are separate XLA compilations whose reassociated
+    float noise flips the SIGN of zero-gradient components, and Adam's step-1
+    update is exactly ±lr regardless of gradient magnitude — so each step can
+    legitimately move a noise-dominated parameter by 2·lr in opposite
+    directions (measured: 1-step maxdiff 2e-4 = 2·lr_G with losses matching
+    to 1e-4 relative). Per-step METRIC comparison is the semantic check —
+    wrong batch order or broken state threading shifts losses by several
+    percent (these batches' losses differ by ~6%), far above the 1% bound."""
+    batches = [_batch(s) for s in (10, 11, 12)]
+    n = len(batches)
+
+    s_ref = state0
+    ref_metrics = []
+    for b in batches:
+        s_ref, m, fake_ref = P.fused_gan_step(s_ref, b, TINY)
+        ref_metrics.append(m)
+
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    s_scan, m_scan, fake_scan = P.scanned_fused_steps(state0, stacked, TINY)
+
+    lr_g, lr_d = TINY.lr / 2, TINY.lr * 2  # TTUR pair
+    for a, b in zip(jax.tree.leaves(s_ref.g_params), jax.tree.leaves(s_scan.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=4 * n * lr_g)
+    for a, b in zip(jax.tree.leaves(s_ref.d_params), jax.tree.leaves(s_scan.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=4 * n * lr_d)
+    assert int(s_scan.step) == int(s_ref.step)
+    for i, m in enumerate(ref_metrics):
+        for k in m:
+            np.testing.assert_allclose(
+                float(m[k]), float(m_scan[k][i]), rtol=1e-2, atol=1e-3,
+                err_msg=f"{k}[{i}]",
+            )
+    # last fake: generated from params that have accumulated the lr-unit
+    # trajectory noise above — bound it in those units too (the generator's
+    # output scale is (tanh+1)*25)
+    np.testing.assert_allclose(
+        np.asarray(fake_scan), np.asarray(fake_ref), rtol=0, atol=0.5
+    )

@@ -15,45 +15,7 @@ from emlight_tpu.nn.sphere_conv import (
 )
 
 
-def _torch_reference_grid(h, w, stride):
-    """Reproduce the reference coordinate pipeline (sphere_cnn.py:31-84) in
-    torch-ready normalized-grid form (fresh implementation of the formulas)."""
-    from numpy import sin, cos, tan, pi, arcsin, arctan
-
-    def taps_for(img_r, img_c):
-        phi = -((img_r + 0.5) / h * pi - pi / 2)
-        theta = (img_c + 0.5) / w * 2 * pi - pi
-        dp, dt = pi / h, 2 * pi / w
-        out = np.zeros((3, 3, 2))
-        for r, sy in enumerate((1, 0, -1)):
-            for c, sx in enumerate((-1, 0, 1)):
-                if r == 1 and c == 1:
-                    out[r, c] = (img_r, img_c)
-                    continue
-                x = sx * tan(dt)
-                y = sy * tan(dp) * (1 / cos(dt) if c != 1 else 1.0)
-                if r == 1:
-                    y = 0.0
-                rho = np.sqrt(x * x + y * y)
-                v = arctan(rho)
-                nphi = arcsin(cos(v) * sin(phi) + y * sin(v) * cos(phi) / rho)
-                ntheta = theta + arctan(
-                    x * sin(v) / (rho * cos(phi) * cos(v) - y * sin(phi) * sin(v))
-                )
-                nr = (-nphi + pi / 2) * h / pi - 0.5
-                nc = (ntheta + pi) * w / 2 / pi - 0.5
-                nc = (nc + w) % w
-                out[r, c] = (nr, nc)
-        return out
-
-    co = np.array([[taps_for(i, j) for j in range(0, w, stride)] for i in range(0, h, stride)])
-    # (Ho, Wo, 3, 3, 2) -> normalized grid (1, Ho*3, Wo*3, 2[x,y])
-    rr = co[..., 0] * 2 / h - 1
-    cc = co[..., 1] * 2 / w - 1
-    grid = np.stack([cc, rr], axis=-1)  # x first
-    ho, wo = co.shape[:2]
-    grid = grid.transpose(0, 2, 1, 3, 4).reshape(1, ho * 3, wo * 3, 2)
-    return torch.from_numpy(grid).float()
+from emlight_tpu.train.torch_ref import reference_grid as _torch_reference_grid
 
 
 def _torch_sphere_conv(x_nchw, weight, bias, stride):

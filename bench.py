@@ -112,6 +112,38 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
     dt = time.perf_counter() - t0
     throughput = batch_size * iters / dt
 
+    # BN-fold eval fast path (exact parameter transform, cli --fold_bn);
+    # reported alongside the default so regressions in either path surface
+    fold_throughput = None
+    try:
+        f_apply, f_params, f_stats = R.fold_for_inference(cfg, state.params, state.batch_stats)
+
+        @jax.jit
+        def fn_fold(params, batch_stats, crop):
+            pred = f_apply({"params": params, "batch_stats": batch_stats}, crop, train=False)
+            dist = jax.nn.softmax(pred["distribution"], axis=-1)
+            env = render_anchor_params(
+                dist, pred["intensity"][:, 0], pred["rgb_ratio"], pred["ambient"],
+                n=128, intensity_scale=cfg.anchors.intensity_scale,
+            )
+            return env, jnp.sum(env)
+
+        @jax.jit
+        def run_fold(params, batch_stats, crop):
+            def body(acc, _):
+                _, s = fn_fold(params, batch_stats, crop + acc * 1e-30)
+                return acc + s, None
+            total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return total
+
+        for _ in range(2):
+            float(run_fold(f_params, f_stats, crop))
+        t0 = time.perf_counter()
+        float(run_fold(f_params, f_stats, crop))
+        fold_throughput = batch_size * iters / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# fold_bn inference variant failed: {e!r}", file=sys.stderr)
+
     # MFU: FLOPs of one forward (cost analysis of the single-step jit) over
     # measured step time, against the chip's bf16 MXU peak
     step_flops = _compiled_flops(fn, state.params, state.batch_stats, crop)
@@ -125,7 +157,7 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
     t0 = time.perf_counter()
     float(run1(state.params, state.batch_stats, crop1))
     p50_ms = (time.perf_counter() - t0) / 50 * 1000
-    return throughput, p50_ms, mfu
+    return throughput, p50_ms, mfu, fold_throughput
 
 
 def bench_torch_reference(batch_size: int = 4, iters: int = 5):
@@ -456,7 +488,7 @@ def bench_sinkhorn(batch: int = 16, n: int = 96, reps: int = 200):
 
 
 def main():
-    throughput, p50_ms, mfu = bench_tpu()
+    throughput, p50_ms, mfu, fold_throughput = bench_tpu()
     try:
         ref = bench_torch_reference()
     except Exception:
@@ -508,6 +540,7 @@ def main():
         "vs_baseline": round(throughput / ref, 2) if ref else None,
         "p50_latency_ms_bs1": round(p50_ms, 2),
         "mfu_pct": round(mfu, 2) if mfu else None,
+        "fold_bn_images_per_sec": round(fold_throughput, 2) if fold_throughput else None,
         "baseline_note": "baseline = reference-equivalent torch pipeline on host CPU (no GPU/published numbers exist)",
         "baseline_images_per_sec": round(ref, 3) if ref else None,
         "gt_extraction_panoramas_per_sec": round(gt_rate, 1) if gt_rate else None,

@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--parallel", action="store_true",
                     help="shard each crop batch over all devices (data-parallel "
                          "inference; ragged batches are padded)")
+    ap.add_argument("--fold_bn", action="store_true",
+                    help="fold eval-mode BN affines into conv kernels (exact "
+                         "parameter transform, faster inference)")
     ap.add_argument("--block_config", default="16,16,16")
     ap.add_argument("--crop", default="192,256")
     ap.add_argument("--clip_grad_norm", type=float, default=0.0,
@@ -76,6 +79,16 @@ def main(argv=None):
     else:
         state = ckpt_mod.restore_checkpoint(args.ckpt, state)
 
+    apply_fn, pred_params, pred_stats = state.apply_fn, state.params, state.batch_stats
+    if args.fold_bn:
+        if args.parallel:
+            print("--fold_bn ignored with --parallel (sharded path keeps the "
+                  "checkpoint's parameter structure)")
+        else:
+            apply_fn, pred_params, pred_stats = R.fold_for_inference(
+                cfg, state.params, state.batch_stats
+            )
+
     crop_dir = args.crops or os.path.join(args.data_root, "crop")
     names = sorted(n for n in os.listdir(crop_dir) if n.endswith(".exr"))
     if args.limit:
@@ -105,7 +118,7 @@ def main(argv=None):
             pred = run_parallel(state, shard_batch(jnp.asarray(padded), mesh))
             pred = {k: np.asarray(v)[:n_real] for k, v in pred.items()}
         else:
-            pred = R.predict(state.apply_fn, state.params, state.batch_stats,
+            pred = R.predict(apply_fn, pred_params, pred_stats,
                              jnp.asarray(np.stack(crops)))
             pred = {k: np.asarray(v) for k, v in pred.items()}
         for i, nm in enumerate(chunk):

@@ -58,9 +58,24 @@ class _DenseLayer(nn.Module):
             if self.fold_bn:
                 # norm2 has no nonlinearity before conv2 (the reference's
                 # layer order, DenseNet.py:30-46) -> at eval it is an affine
-                # map foldable into conv2's kernel + a bias
-                # (fold_eval_variables does the parameter transform)
-                h = conv(self.growth_rate, 3, "conv2", bias=True)(h)
+                # map a*h+b foldable into conv2's kernel + a bias
+                # (fold_eval_variables does the parameter transform).
+                # conv2 zero-pads AFTER norm2, so the folded conv must pad h
+                # with the preimage of that zero (-b/a per channel, stored by
+                # the fold as conv2_pad) and run VALID — plain zero padding
+                # would leak the folded bias through the border taps.
+                pad = self.param(
+                    "conv2_pad", nn.initializers.zeros, (h.shape[-1],), jnp.float32
+                ).astype(h.dtype)
+                bsz, hh, ww, c = h.shape
+                row = jnp.broadcast_to(pad, (bsz, 1, ww, c))
+                hv = jnp.concatenate([row, h, row], axis=1)
+                col = jnp.broadcast_to(pad, (bsz, hh + 2, 1, c))
+                hp = jnp.concatenate([col, hv, col], axis=2)
+                h = nn.Conv(
+                    self.growth_rate, (3, 3), padding="VALID", use_bias=True,
+                    dtype=self.dtype, name="conv2",
+                )(hp)
             else:
                 h = bn("norm2")(h)
                 h = conv(self.growth_rate, 3, "conv2")(h)
@@ -190,6 +205,10 @@ def fold_eval_variables(params, batch_stats, eps: float = 1e-5):
             "kernel": k * a[None, None, :, None],
             "bias": jnp.einsum("hwio,i->o", k, b),
         }
+        # conv2 zero-padded its input AFTER norm2: the folded conv must pad
+        # with norm2's preimage of zero. a == 0 kills the kernel column, so
+        # any finite pad value works there — use 0 to dodge the 0/0.
+        layer["conv2_pad"] = jnp.where(a == 0, 0.0, -b / jnp.where(a == 0, 1.0, a))
         del layer["norm2"]
         del stats["norm2"]
         p[name] = layer

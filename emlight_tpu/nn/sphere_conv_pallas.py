@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sphere_conv import compute_dtype_of, sphere_taps
 
-__all__ = ["sphere_conv_pallas", "structured_tables"]
+__all__ = ["sphere_conv_pallas", "structured_tables", "scalar_weight_tables"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -70,11 +70,43 @@ def structured_tables(h: int, w: int, stride: int = 1):
     return rows_c, shift_c, wcol
 
 
-def _kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, k_ref, b_ref, out_ref,
+@functools.lru_cache(maxsize=None)
+def scalar_weight_tables(h: int, w: int, stride: int = 1):
+    """Decompose wcol into (scalar, dead-column) form.
+
+    Every (i, t, k) weight row is a single constant w0 across all output
+    columns except AT MOST one column where grid_sample's zero-padding of the
+    half-open wrap edge (sphere_cnn.py:54-55 wraps columns; the j -> j+1
+    neighbor of the last column lands on the zero pad) kills it to exactly 0.
+    Verified exhaustively at table-build time for both strides. The kernels
+    rebuild the per-column weight vector from two scalars —
+    where(col == jdev, 0, w0) — which is bit-identical to the dense table
+    while replacing its VMEM window (the padded (.., wo, 1) block was the
+    kernels' dominant allocation: 1 real lane padded to 128) with SMEM.
+
+    Returns:
+      w0:   (Ho, 9, 4) float32 — the constant weight (0 for dead entries)
+      jdev: (Ho, 9, 4) int32 — zero-padded output column, or -1 if none
+    """
+    _, _, wcol = structured_tables(h, w, stride)
+    wall = wcol[..., 0]  # (ho, 9, 4, wo)
+    w0 = wall.max(axis=3)
+    dev = (wall != w0[..., None]) & (w0[..., None] > 0)
+    assert (dev.sum(axis=3) <= 1).all(), "more than one deviating column"
+    assert (wall[dev] == 0).all(), "deviating weight is not the zero pad"
+    jdev = np.where(dev.any(axis=3), dev.argmax(axis=3), -1).astype(np.int32)
+    # exact reconstruction (the kernels' in-VMEM math mirrors this)
+    cols = np.arange(wall.shape[3])
+    recon = np.where(cols[None, None, None] == jdev[..., None], 0.0, w0[..., None])
+    assert (recon == wall).all(), "scalar decomposition is not exact"
+    return w0.astype(np.float32), jdev
+
+
+def _kernel(rows_ref, shifts_ref, w0_ref, jdev_ref, x_hbm, k_ref, b_ref, out_ref,
             win_ref, s_ref, sems, *, br: int, w: int, win_rows: int, stride: int, h: int):
-    """Generic body for stride 1 and 2. win_ref holds the halo window DOUBLED
-    along W (circular shifts become pl.ds ref slices — Mosaic has no
-    dynamic_slice on values)."""
+    """Generic body for stride 1 and 2. The halo window is DMA'd HBM->VMEM
+    once per row block; circular column shifts use the native dynamic
+    rotate (Mosaic has no dynamic_slice on values)."""
     rb = pl.program_id(1)
     src0 = rb * br * stride
     # window start clamped so [start, start+win_rows) stays in range
@@ -90,6 +122,9 @@ def _kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, k_ref, b_ref, out_ref,
 
     bias = b_ref[:]  # (1, cout_block)
     cin = k_ref.shape[1]
+    # per-column weights are a constant with at most one zero-padded column
+    # (scalar_weight_tables): rebuild the (wo, 1) vector from two scalars
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
 
     # one (br*W, Cin) x (Cin, Cout) MXU matmul per tap: the per-row sampled
     # block is staged in s_ref, then all rows multiply at once
@@ -114,7 +149,10 @@ def _kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, k_ref, b_ref, out_ref,
                 if stride > 1:
                     # out col j samples input col stride*j + shift
                     shifted = shifted.reshape(w, stride, cin)[:, 0, :]
-                return s_row + wcol_ref[ii, t, k] * shifted  # (wo,1)*(wo,cin)
+                wvec = jnp.where(
+                    col_ids == jdev_ref[0, ii, t, k], 0.0, w0_ref[0, ii, t, k]
+                ).astype(win_ref.dtype)
+                return s_row + wvec * shifted  # (wo,1)*(wo,cin)
 
             s_ref[ii] = jax.lax.fori_loop(0, 4, nb_body, s_row)
             return 0
@@ -132,17 +170,14 @@ def _kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, k_ref, b_ref, out_ref,
 def auto_block_rows(h: int, w: int, stride: int, dt) -> int:
     """Row-block size when the caller doesn't pin one.
 
-    16 halves the number of halo-DMA windows (measured ~6% faster at 128x256
-    on v5e) but is only legal when the wcol window fits VMEM: wcol is
-    (br, 9, 4, wo, 1) and its size-1 lane dim pads to 128 lanes, with the
-    grid-indexed window double-buffered — 2*br*9*4*wo*128*itemsize bytes, the
-    dominant allocation. At wo=256 that is 75.5MB in bf16 (fits) but 151MB in
-    f32 (exceeds the 128MB VMEM: Mosaic rejects the compile — caught by
-    bench_gan on the f32 train path).
+    With the weight tables collapsed to SMEM scalars (scalar_weight_tables)
+    the halo-DMA traffic the old br=16 config amortized is gone with the
+    wcol window, and SMEM — not VMEM — is the binding constraint: Mosaic's
+    SMEM budget at br=16 sits within ~4KB of the 1MB cap and the two extra
+    scalar tables push it over. br=8 with scalar weights measures faster
+    than the old br=16 anyway (15.7 vs 21.0 ms on the 128x256 128->256
+    forward, v5e bs8 bf16).
     """
-    wcol_win = 2 * 16 * 9 * 4 * w * 128 * jnp.dtype(dt).itemsize
-    if stride == 1 and h * w >= 32768 and wcol_win <= 80 * 1024 * 1024:
-        return 16
     return 8
 
 
@@ -176,6 +211,7 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
             bias = jnp.pad(bias, (0, pad_out))
         cout = 8
     rows_c, shift_c, wcol = structured_tables(h, w, stride)
+    w0_tab, jdev_tab = scalar_weight_tables(h, w, stride)
     ho, wo = wcol.shape[0], wcol.shape[3]  # wcol is (ho, 9, 4, wo, 1)
 
     br = min(block_rows, ho)
@@ -212,8 +248,10 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((br, 9, 4, wo, 1), lambda bb, rb, cb_: (rb, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM, DMA'd manually
             pl.BlockSpec((9, cin, cb), lambda bb, rb, cb_: (0, 0, cb_),
                          memory_space=pltpu.VMEM),
@@ -233,7 +271,7 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
         interpret=interpret,
     )(
         jnp.asarray(rows_c)[None], jnp.asarray(shift_c)[None],
-        jnp.asarray(wcol).astype(dt),
+        jnp.asarray(w0_tab)[None], jnp.asarray(jdev_tab)[None],
         x.astype(dt), kflat.astype(dt), bias_in.astype(jnp.float32),
     )
     if pad_out:

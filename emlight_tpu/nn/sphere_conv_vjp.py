@@ -35,21 +35,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sphere_conv import compute_dtype_of, sphere_conv_gather, sphere_taps
-from .sphere_conv_pallas import sphere_conv_pallas, structured_tables
+from .sphere_conv_pallas import (
+    scalar_weight_tables,
+    sphere_conv_pallas,
+    structured_tables,
+)
 
 __all__ = ["sphere_conv_trainable"]
 
-# Per-shape dispatch thresholds (measured on v5e, bs8 bf16, 128x256 — see
-# BASELINE.md microbench row). The fused kernels pad cin to the 128-lane
-# tile, so small-cin convs (the SPADE guide branch's cin=3 mlp_shared) pay
-# full-width staging for 3 real channels and the XLA gather formulation wins
-# there: fwd 3->384 21.2 vs 27.6 ms, dk 3->384 10.8 vs 26.3 ms. For dk the
-# gather also edges out the kernel at wide cout (128->256: 18.5 vs 20.2 ms,
-# the extra cout tiles grow the in-VMEM g window) while the kernel wins at
-# cout<=128 (64->64: 12.8 vs 16.3).
+# Per-shape dispatch thresholds, re-measured on v5e (bs8 bf16, 128x256) after
+# the weight tables moved to SMEM scalars (scalar_weight_tables) — that
+# change shifted every crossover, see BASELINE.md round-3 microbench rows.
+# The fused kernels still pad cin to the 128-lane tile, so the SPADE guide
+# branch's cin=3 convs pay full-width staging for 3 real channels; with the
+# wcol window gone the forward kernel now wins there up to ~2 cout tiles
+# (3->128: 9.0 vs 12.2 gather; 3->384: 21.6 vs 20.5 gather keeps the wide
+# fused mlp_shared on gather). dk at cin=3 stays on gather (3->384: 22.2 vs
+# 11.6). dk at wide cout: pallas now wins at 128->256 on 128x256 (15.9 vs
+# 18.5) but gather stays ahead at low resolution (64x128 256->512: 13.0 vs
+# 7.5) — gate wide-cout dk on the pixel count.
 _PALLAS_FWD_MIN_CIN = 32
+_PALLAS_FWD_SMALL_CIN_MAX_COUT = 256
 _PALLAS_DK_MIN_CIN = 32
 _PALLAS_DK_MAX_COUT = 128
+_PALLAS_DK_WIDE_COUT = 256          # allowed when the conv is large enough
+_PALLAS_DK_WIDE_MIN_PIXELS = 32768  # >= 128x256
 
 _MAX_FANIN = 64  # padded (i, t, k) triple count per input row (measured <= ~40)
 
@@ -58,15 +68,19 @@ _MAX_FANIN = 64  # padded (i, t, k) triple count per input row (measured <= ~40)
 def inverse_tables(h: int, w: int, stride: int = 1):
     """Group forward triples by their source row.
 
-    Returns (out_rows, taps, shifts, weights, fanin):
+    Returns (out_rows, taps, shifts, w0, jdev, fanin):
       out_rows (H, M) int32 — contributing output row (weight-0 pad slots
                point at an in-window row, see below)
       taps     (H, M) int32
       shifts   (H, M) int32 — column shift s: input col = (stride*j + s) mod W
-      weights  (H, M, Wo, 1) f32 — the forward's per-out-column weight vector
+      w0       (H, M) f32 — the forward's constant per-out-column weight
+      jdev     (H, M) int32 — zero-padded output column, -1 if none
+               (see scalar_weight_tables: the per-column weight vector is
+               where(col == jdev, 0, w0), exactly)
       fanin: max used M (<= _MAX_FANIN)
     """
     rows_c, shift_c, wcol = structured_tables(h, w, stride)
+    w0_tab, jdev_tab = scalar_weight_tables(h, w, stride)
     ho = rows_c.shape[0]
     per_row: list[list[tuple[int, int, int]]] = [[] for _ in range(h)]
     for i in range(ho):
@@ -77,7 +91,6 @@ def inverse_tables(h: int, w: int, stride: int = 1):
     fanin = max(len(v) for v in per_row)
     assert fanin <= _MAX_FANIN, fanin
     m = fanin
-    wo = wcol.shape[3]
     # padded slots carry zero weight but MUST index inside the DMA window:
     # point them at the row's own output row (r // stride) — out_rows outside
     # the window would make the local index negative, and while interpret
@@ -87,18 +100,21 @@ def inverse_tables(h: int, w: int, stride: int = 1):
     )
     taps = np.zeros((h, m), np.int32)
     shifts = np.zeros((h, m), np.int32)
-    weights = np.zeros((h, m, wo, 1), np.float32)
+    w0 = np.zeros((h, m), np.float32)
+    jdev = np.full((h, m), -1, np.int32)
     for r in range(h):
         for j, (i, t, k) in enumerate(per_row[r]):
             out_rows[r, j] = i
             taps[r, j] = t
             shifts[r, j] = shift_c[i, t, k]
-            weights[r, j] = wcol[i, t, k]
-    return out_rows, taps, shifts, weights, fanin
+            w0[r, j] = w0_tab[i, t, k]
+            jdev[r, j] = jdev_tab[i, t, k]
+    return out_rows, taps, shifts, w0, jdev, fanin
 
 
-def _dx_kernel_s1(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref, dx_ref,
-                  win_ref, sems, *, br: int, w: int, win_rows: int, h: int, fanin: int):
+def _dx_kernel_s1(orow_ref, tap_ref, shift_ref, w0_ref, jdev_ref, g_hbm, kt_ref,
+                  dx_ref, win_ref, sems, *, br: int, w: int, win_rows: int,
+                  h: int, fanin: int):
     rb = pl.program_id(1)
     r0 = rb * br
     # contributing output rows lie within [r0-1, r0+br+2) (inverse halo)
@@ -109,6 +125,7 @@ def _dx_kernel_s1(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref, dx_ref,
     dma.wait()
 
     cinb = kt_ref.shape[-1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
 
     def row_body(rr, _):
         def contrib(m, acc):
@@ -116,7 +133,8 @@ def _dx_kernel_s1(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref, dx_ref,
             t = tap_ref[0, rr, m]
             s = shift_ref[0, rr, m]
             u = jnp.dot(win_ref[i_local], kt_ref[t], preferred_element_type=jnp.float32)
-            wu = wvec_ref[rr, m] * u  # (w, cinb)
+            wvec = jnp.where(col_ids == jdev_ref[0, rr, m], 0.0, w0_ref[0, rr, m])
+            wu = wvec * u  # (w, cinb)
             return acc + pltpu.roll(wu, s, 0)
 
         acc = jax.lax.fori_loop(0, fanin, contrib, jnp.zeros((w, cinb), jnp.float32))
@@ -126,8 +144,8 @@ def _dx_kernel_s1(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref, dx_ref,
     jax.lax.fori_loop(0, br, row_body, 0)
 
 
-def _dx_kernel_s1_umajor(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref,
-                         dx_ref, win_ref, u_ref, sems, *, br: int, w: int,
+def _dx_kernel_s1_umajor(orow_ref, tap_ref, shift_ref, w0_ref, jdev_ref, g_hbm,
+                         kt_ref, dx_ref, win_ref, u_ref, sems, *, br: int, w: int,
                          win_rows: int, h: int, fanin: int):
     """U-major stride-1 dx: precompute U[t, jw] = g[jw] @ K_tᵀ for the whole
     window (9 large MXU matmuls) so the fan-in loop is pure roll+fma. ~4x on
@@ -146,6 +164,7 @@ def _dx_kernel_s1_umajor(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref,
     cinb = kt_ref.shape[-1]
     cout = kt_ref.shape[1]
     gflat = win_ref[:].reshape(win_rows * w, cout)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
 
     def tap_body(t, _):
         u = jnp.dot(gflat, kt_ref[t], preferred_element_type=jnp.float32)
@@ -160,7 +179,8 @@ def _dx_kernel_s1_umajor(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref,
             i_local = orow_ref[0, rr, m] - start
             t = tap_ref[0, rr, m]
             s = shift_ref[0, rr, m]
-            wu = wvec_ref[rr, m] * u_ref[t * win_rows + i_local]
+            wvec = jnp.where(col_ids == jdev_ref[0, rr, m], 0.0, w0_ref[0, rr, m])
+            wu = wvec * u_ref[t * win_rows + i_local]
             return acc + pltpu.roll(wu, s, 0)
 
         acc = jax.lax.fori_loop(0, fanin, contrib, jnp.zeros((w, cinb), jnp.float32))
@@ -170,12 +190,13 @@ def _dx_kernel_s1_umajor(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref,
     jax.lax.fori_loop(0, br, row_body, 0)
 
 
-# U-major pays off once the window matmuls are large enough to amortize the
-# U-scratch traffic; measured crossover on v5e is between 64x128 and 128x256
-_UMAJOR_MIN_PIXELS = 32768
+# U-major wins at every measured resolution once the weight window moved to
+# SMEM scalars (64x128 256ch: 5.8 vs 11.3; 32x64 512ch: 4.6 vs 11.1); keep
+# the per-triple variant only for tiny unmeasured shapes
+_UMAJOR_MIN_PIXELS = 2048
 
 
-def _dx_kernel_s2(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref,
+def _dx_kernel_s2(orow_ref, tap_ref, shift_ref, w0_ref, jdev_ref, g_hbm, kt_ref,
                   dxe_ref, dxo_ref, win_ref, sems,
                   *, br: int, wo: int, win_rows: int, ho: int, fanin: int):
     rb = pl.program_id(1)
@@ -189,6 +210,7 @@ def _dx_kernel_s2(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref,
     dma.wait()
 
     cinb = kt_ref.shape[-1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (wo, 1), 0)
 
     def row_body(rr, _):
         def contrib(m, accs):
@@ -197,7 +219,8 @@ def _dx_kernel_s2(orow_ref, tap_ref, shift_ref, wvec_ref, g_hbm, kt_ref,
             t = tap_ref[0, rr, m]
             s = shift_ref[0, rr, m]
             u = jnp.dot(win_ref[i_local], kt_ref[t], preferred_element_type=jnp.float32)
-            wu = wvec_ref[rr, m] * u  # (wo, cinb)
+            wvec = jnp.where(col_ids == jdev_ref[0, rr, m], 0.0, w0_ref[0, rr, m])
+            wu = wvec * u  # (wo, cinb)
             rolled = pltpu.roll(wu, s // 2, 0)
             is_even = (s % 2 == 0)
             acc_e = acc_e + jnp.where(is_even, rolled, 0.0)
@@ -235,7 +258,7 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
     dt = compute_dtype_of(g)
     if dt not in (jnp.float32, jnp.bfloat16):
         dt = jnp.float32
-    out_rows, taps, shifts, weights, fanin = inverse_tables(h, w, stride)
+    out_rows, taps, shifts, w0_inv, jdev_inv, fanin = inverse_tables(h, w, stride)
     br = min(block_rows, h)
     if h % br:
         raise ValueError(f"h={h} not divisible by block_rows={br}")
@@ -253,15 +276,16 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
         smem((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0)),
         smem((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0)),
         smem((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0)),
-        pl.BlockSpec((br, fanin, wo, 1), lambda bb, rb, cb_: (rb, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        smem((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0)),
+        smem((1, br, fanin), lambda bb, rb, cb_: (0, rb, 0)),
         pl.BlockSpec(memory_space=pl.ANY),  # g in HBM, DMA'd
         pl.BlockSpec((9, cout, cb), lambda bb, rb, cb_: (0, 0, cb_),
                      memory_space=pltpu.VMEM),
     ]
     args = (
         jnp.asarray(out_rows)[None], jnp.asarray(taps)[None],
-        jnp.asarray(shifts)[None], jnp.asarray(weights),
+        jnp.asarray(shifts)[None], jnp.asarray(w0_inv)[None],
+        jnp.asarray(jdev_inv)[None],
         g.astype(dt), kt.astype(dt),
     )
     scratch = [
@@ -315,7 +339,7 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
     return dx
 
 
-def _dk_kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, g_ref, dk_ref,
+def _dk_kernel(rows_ref, shifts_ref, w0_ref, jdev_ref, x_hbm, g_ref, dk_ref,
                win_ref, s_ref, sems, *, br: int, w: int, win_rows: int,
                stride: int, h: int):
     """dK[t] += s_t(x)ᵀ @ g, one row block per grid step.
@@ -344,6 +368,7 @@ def _dk_kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, g_ref, dk_ref,
     cin = win_ref.shape[-1]
     cout = g_ref.shape[-1]
     gmat = g_ref[0].reshape(br * w, cout)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
 
     def tap_body(t, _):
         def row_body(ii, _):
@@ -361,7 +386,10 @@ def _dk_kernel(rows_ref, shifts_ref, wcol_ref, x_hbm, g_ref, dk_ref,
                     shifted = pltpu.roll(row, w_in - shift, 0)
                 if stride > 1:
                     shifted = shifted.reshape(w, stride, cin)[:, 0, :]
-                return s_row + wcol_ref[ii, t, k] * shifted
+                wvec = jnp.where(
+                    col_ids == jdev_ref[0, ii, t, k], 0.0, w0_ref[0, ii, t, k]
+                ).astype(win_ref.dtype)
+                return s_row + wvec * shifted
 
             s_ref[ii] = jax.lax.fori_loop(0, 4, nb_body, s_row)
             return 0
@@ -398,6 +426,7 @@ def _dk_pallas(x: jax.Array, g: jax.Array, stride: int = 1,
         cout = 8
 
     rows_c, shift_c, wcol = structured_tables(h, w, stride)
+    w0_tab, jdev_tab = scalar_weight_tables(h, w, stride)
     ho, wo = wcol.shape[0], wcol.shape[3]
     br = min(block_rows, ho)
     if ho % br:
@@ -419,8 +448,10 @@ def _dk_pallas(x: jax.Array, g: jax.Array, stride: int = 1,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((br, 9, 4, wo, 1), lambda bb, rb, cb_: (rb, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, br, 9, 4), lambda bb, rb, cb_: (0, rb, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # x in HBM, DMA'd
             pl.BlockSpec((1, br, wo, cb), lambda bb, rb, cb_: (bb, rb, 0, cb_),
                          memory_space=pltpu.VMEM),
@@ -439,7 +470,7 @@ def _dk_pallas(x: jax.Array, g: jax.Array, stride: int = 1,
         interpret=interpret,
     )(
         jnp.asarray(rows_c)[None], jnp.asarray(shift_c)[None],
-        jnp.asarray(wcol).astype(dt),
+        jnp.asarray(w0_tab)[None], jnp.asarray(jdev_tab)[None],
         x.astype(dt), g.astype(dt),
     )
     return dk[:, :cin0, :cout0].reshape(3, 3, cin0, cout0)
@@ -468,7 +499,8 @@ def _dk_gather(x: jax.Array, g: jax.Array, cout: int, stride: int = 1) -> jax.Ar
 
 
 def _fwd_impl(x, kernel, bias, stride):
-    if x.shape[-1] < _PALLAS_FWD_MIN_CIN:
+    if (x.shape[-1] < _PALLAS_FWD_MIN_CIN
+            and kernel.shape[-1] > _PALLAS_FWD_SMALL_CIN_MAX_COUT):
         return sphere_conv_gather(x, kernel, bias, stride)
     return sphere_conv_pallas(x, kernel, bias, stride)
 
@@ -499,7 +531,11 @@ def _bwd(stride, res, g):
     use_pallas_dk = (
         stride == 1
         and x.shape[-1] >= _PALLAS_DK_MIN_CIN
-        and g.shape[-1] <= _PALLAS_DK_MAX_COUT
+        and (
+            g.shape[-1] <= _PALLAS_DK_MAX_COUT
+            or (g.shape[-1] <= _PALLAS_DK_WIDE_COUT
+                and x.shape[1] * x.shape[2] >= _PALLAS_DK_WIDE_MIN_PIXELS)
+        )
     )
     dk = _dk_pallas(x, g, stride) if use_pallas_dk else _dk_gather(x, g, g.shape[-1], stride)
     db = g.sum(axis=(0, 1, 2)) if has_bias else None

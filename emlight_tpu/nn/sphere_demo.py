@@ -18,7 +18,7 @@ import numpy as np
 
 from ..core.geometry import equirect_xyz_splat
 
-__all__ = ["project_to_sphere"]
+__all__ = ["project_to_sphere", "OmniDigits", "load_mnist_idx", "synthetic_digits"]
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "fov_deg"))
@@ -75,3 +75,126 @@ def project_to_sphere(
         return jnp.where(inside[:, None], sample, 0.0).reshape(out_h, out_w, c)
 
     return jax.vmap(one)(img, v_rot, h_rot)
+
+
+def load_mnist_idx(root: str, train: bool = True):
+    """Read MNIST idx(.gz) files from `root` (no torchvision in this image).
+
+    Expects the standard filenames (train-images-idx3-ubyte[.gz], ...).
+    Returns (images (N, 28, 28) float32 in [0, 255], labels (N,) int32).
+    """
+    import gzip
+    import os
+    import struct
+
+    prefix = "train" if train else "t10k"
+
+    def read(name):
+        for suffix in (".gz", ""):
+            path = os.path.join(root, name + suffix)
+            if os.path.exists(path):
+                opener = gzip.open if suffix else open
+                with opener(path, "rb") as f:
+                    return f.read()
+        raise FileNotFoundError(f"{name}[.gz] not under {root}")
+
+    raw = read(f"{prefix}-images-idx3-ubyte")
+    _, n, h, w = struct.unpack(">IIII", raw[:16])
+    images = np.frombuffer(raw, np.uint8, offset=16).reshape(n, h, w).astype(np.float32)
+    raw = read(f"{prefix}-labels-idx1-ubyte")
+    (_, n2) = struct.unpack(">II", raw[:8])
+    labels = np.frombuffer(raw, np.uint8, offset=8).astype(np.int32)
+    assert n == n2
+    return images, labels
+
+
+def synthetic_digits(n: int, seed: int = 0, size: int = 28):
+    """Procedural 10-class digit-like glyphs (stroke patterns + jitter) so the
+    demo runs in images without MNIST files. Classes are visually distinct
+    strokes, so a working SphereCNN separates them in a few hundred steps."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    templates = np.stack([
+        ((0.2 < xx) & (xx < 0.8) & (0.2 < yy) & (yy < 0.35)),       # top bar
+        ((0.2 < xx) & (xx < 0.8) & (0.65 < yy) & (yy < 0.8)),       # bottom bar
+        ((0.2 < xx) & (xx < 0.35) & (0.2 < yy) & (yy < 0.8)),       # left bar
+        ((0.65 < xx) & (xx < 0.8) & (0.2 < yy) & (yy < 0.8)),       # right bar
+        (np.abs(xx - yy) < 0.12),                                   # diagonal
+        (np.abs(xx + yy - 1) < 0.12),                               # anti-diagonal
+        (np.abs(np.hypot(xx - 0.5, yy - 0.5) - 0.3) < 0.08),        # ring
+        (np.hypot(xx - 0.5, yy - 0.5) < 0.22),                      # disk
+        ((np.abs(xx - 0.5) < 0.08) | (np.abs(yy - 0.5) < 0.08)),    # cross
+        ((np.abs(xx - 0.3) < 0.07) | (np.abs(xx - 0.7) < 0.07)),    # double bar
+    ]).astype(np.float32) * 255.0
+    labels = rng.integers(0, 10, n).astype(np.int32)
+    images = templates[labels]
+    # jitter: random shift up to +-3px and pixel noise
+    out = np.zeros_like(images)
+    for i in range(n):
+        dy, dx = rng.integers(-3, 4, 2)
+        out[i] = np.roll(np.roll(images[i], dy, 0), dx, 1)
+    out += rng.normal(0, 12.0, out.shape).astype(np.float32)
+    return np.clip(out, 0, 255), labels
+
+
+class OmniDigits:
+    """Omnidirectional classification dataset (OmniMNIST rebuilt tpu-native).
+
+    Mirrors the reference's OmniDataset surface (GenProjector/models/networks/
+    spherenet/dataset.py:73-155): each planar digit is gnomonically projected
+    onto an equirectangular sphere with optional flip / horizontal roll /
+    vertical rotation augmentation, `fix_aug` freezing the per-index draw.
+    The projection runs batched+jitted on device (project_to_sphere) instead
+    of per-item scipy map_coordinates.
+    """
+
+    def __init__(self, images, labels, fov: float = 120.0,
+                 outshape: tuple[int, int] = (60, 60), flip: bool = False,
+                 h_rotate: bool = False, v_rotate: bool = False,
+                 fix_aug: bool = False, seed: int = 0):
+        self.images = np.asarray(images, np.float32)
+        self.labels = np.asarray(labels, np.int32)
+        self.fov = float(fov)
+        self.outshape = tuple(outshape)
+        self.flip, self.h_rotate, self.v_rotate = flip, h_rotate, v_rotate
+        self._rng = np.random.default_rng(seed)
+        self.aug = None
+        if fix_aug:
+            self.aug = {
+                "flip": self._rng.integers(0, 2, len(self.labels)) == 0,
+                "h": self._rng.integers(0, self.outshape[1], len(self.labels)),
+                "v": self._rng.uniform(-np.pi / 2, np.pi / 2, len(self.labels)),
+            }
+
+    def __len__(self):
+        return len(self.labels)
+
+    def batch(self, idx) -> tuple[np.ndarray, np.ndarray]:
+        """Project digits idx -> ((B, oh, ow, 1) maps, (B,) labels)."""
+        idx = np.asarray(idx)
+        imgs = self.images[idx][..., None]
+        n = len(idx)
+        if self.v_rotate:
+            v = self.aug["v"][idx] if self.aug is not None else (
+                self._rng.uniform(-np.pi / 2, np.pi / 2, n))
+        else:
+            v = np.zeros(n)
+        x = np.array(project_to_sphere(
+            jnp.asarray(imgs), jnp.asarray(v, jnp.float32),
+            jnp.zeros(n, jnp.float32), out_h=self.outshape[0],
+            out_w=self.outshape[1], fov_deg=self.fov,
+        ))
+        if self.flip:
+            do = (self.aug["flip"][idx] if self.aug is not None
+                  else self._rng.integers(0, 2, n) == 0)
+            x[do] = x[do, :, ::-1]
+        if self.h_rotate:
+            dx = (self.aug["h"][idx] if self.aug is not None
+                  else self._rng.integers(0, self.outshape[1], n))
+            for i in range(n):
+                x[i] = np.roll(x[i], int(dx[i]), axis=1)
+        return x, self.labels[idx]
+
+    def __getitem__(self, i: int):
+        x, y = self.batch([int(i)])
+        return x[0], int(y[0])

@@ -176,3 +176,20 @@ def eval_step(state: RegressionState, batch, cfg: RegressionConfig):
 def predict(apply_fn, params, batch_stats, crop):
     """Inference: crop -> anchor parameter dict (RegressionNetwork/test.py path)."""
     return apply_fn({"params": params, "batch_stats": batch_stats}, crop, train=False)
+
+
+def fold_for_inference(cfg: RegressionConfig, params, batch_stats):
+    """Eval fast path: (apply_fn, params', batch_stats') with every dense
+    layer's norm2 BN affine folded into its conv2 kernel + bias.
+
+    A pure parameter transform (nn/densenet.py::fold_eval_variables) — exact
+    up to f32 reassociation — that deletes one normalize pass per dense layer
+    at inference. Works on trained and torch-imported checkpoints alike.
+    """
+    import dataclasses as _dc
+
+    from ..nn.densenet import fold_eval_variables
+
+    model = _dc.replace(make_model(cfg), fold_bn=True)
+    p, s = fold_eval_variables(params, batch_stats)
+    return model.apply, p, s

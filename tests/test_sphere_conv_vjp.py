@@ -15,7 +15,7 @@ def test_inverse_tables_cover_all_triples(stride):
 
     h, w = 16, 32
     rows_c, _, wcol = structured_tables(h, w, stride)
-    out_rows, taps, shifts, weights, fanin = inverse_tables(h, w, stride)
+    out_rows, taps, shifts, w0, jdev, fanin = inverse_tables(h, w, stride)
     # every nonzero forward triple appears exactly once in the inverse tables
     n_fwd = sum(
         1
@@ -24,11 +24,23 @@ def test_inverse_tables_cover_all_triples(stride):
         for k in range(4)
         if wcol[i, t, k].any()
     )
-    n_inv = sum(
-        1 for r in range(h) for m in range(fanin) if weights[r, m].any()
-    )
+    n_inv = int((w0 > 0).sum())
     assert n_fwd == n_inv
     assert fanin <= 64
+    # the scalar decomposition reconstructs the dense per-column weights
+    wo = wcol.shape[3]
+    cols = np.arange(wo)
+    for r in range(h):
+        for m in range(fanin):
+            i, t = out_rows[r, m], taps[r, m]
+            kset = [
+                k for k in range(4)
+                if wcol[i, t, k].any()
+                and np.allclose(
+                    np.where(cols == jdev[r, m], 0.0, w0[r, m]), wcol[i, t, k, :, 0]
+                )
+            ]
+            assert w0[r, m] == 0 or kset, (r, m)
 
 
 @pytest.mark.parametrize("stride", (1, 2))

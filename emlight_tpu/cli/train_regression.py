@@ -48,6 +48,9 @@ def main(argv=None):
                     help="global-norm gradient clip; 0 = off (reference parity). "
                          "Changes optimizer-state structure — keep consistent "
                          "across train/resume")
+    ap.add_argument("--log_grad_norms", action="store_true",
+                    help="log per-head + global gradient norms (the "
+                         "reference's check_grad probes as metrics)")
     ap.add_argument("--load_config", default=None,
                     help="opt.json (or run dir) whose flags become defaults; "
                          "--resume picks up {out_dir}/opt.json automatically")
@@ -86,6 +89,7 @@ def main(argv=None):
         dtype=args.dtype,
         remat=args.remat,
         clip_grad_norm=args.clip_grad_norm,
+        log_grad_norms=args.log_grad_norms,
     )
 
     if args.parallel:

@@ -60,6 +60,10 @@ class RegressionConfig:
     # README.md:31). Changes the optimizer-state structure when enabled, so
     # keep it consistent across train/resume (opt.json records it).
     clip_grad_norm: float = 0.0
+    # log per-head + global gradient norms into the metrics dict (the
+    # reference's check_grad/check_module probes, panorama.py:41-64, as a
+    # first-class metric instead of tensor hooks)
+    log_grad_norms: bool = False
 
 
 @dataclass(frozen=True)

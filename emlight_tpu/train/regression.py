@@ -161,6 +161,14 @@ def train_step(state: RegressionState, batch, cfg: RegressionConfig):
     (_, (metrics, new_stats, _)), grads = grad_fn(
         state.params, state.batch_stats, state.apply_fn, batch, cfg, True
     )
+    if cfg.log_grad_norms:
+        # the reference's gradient probes (check_grad on the prediction heads,
+        # check_module on the backbone — panorama.py:41-64) as metrics
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        for head in ("fc_dist", "fc_intensity", "fc_rgb_ratio", "fc_ambient"):
+            if head in grads:
+                metrics[f"grad_norm_{head}"] = optax.global_norm(grads[head])
     return state.apply_gradients(grads, new_stats), metrics
 
 

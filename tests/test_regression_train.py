@@ -103,6 +103,28 @@ def test_batch_stats_update_only_in_train_mode():
     assert changed
 
 
+def test_log_grad_norms_metrics():
+    """log_grad_norms surfaces the reference's check_grad probes
+    (RegressionNetwork/panorama.py:41-64) as finite metrics: a global grad
+    norm plus one per prediction head, without touching the update itself."""
+    cfg = dataclasses.replace(SMALL, log_grad_norms=True)
+    state = R.create_state(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)
+    s_probe, m = R.train_step(state, batch, cfg)
+    assert float(m["grad_norm"]) > 0
+    heads = [k for k in m if k.startswith("grad_norm_fc_")]
+    assert {"grad_norm_fc_dist", "grad_norm_fc_intensity",
+            "grad_norm_fc_rgb_ratio", "grad_norm_fc_ambient"} <= set(m)
+    for k in heads:
+        assert np.isfinite(float(m[k])) and float(m[k]) >= 0
+    # probes are read-only: params after one step match the unprobed run
+    s_plain, _ = R.train_step(
+        R.create_state(jax.random.PRNGKey(0), SMALL), batch, SMALL
+    )
+    for a, b in zip(jax.tree.leaves(s_probe.params), jax.tree.leaves(s_plain.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_clip_grad_norm_bounds_update_and_roundtrips(tmp_path):
     """clip_grad_norm > 0 chains global-norm clipping ahead of Adam: the first
     pre-Adam update has global norm <= clip, loss still falls, and the changed

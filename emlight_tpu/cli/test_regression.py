@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--fold_bn", action="store_true",
                     help="fold eval-mode BN affines into conv kernels (exact "
                          "parameter transform, faster inference)")
+    ap.add_argument("--fast", action="store_true",
+                    help="concat-free eval forward (nn/densenet_fast): same "
+                         "checkpoint, same math modulo float reassociation, "
+                         "skips the dense blocks' growing channel-concats")
     ap.add_argument("--block_config", default="16,16,16")
     ap.add_argument("--crop", default="192,256")
     ap.add_argument("--clip_grad_norm", type=float, default=0.0,
@@ -80,6 +84,14 @@ def main(argv=None):
         state = ckpt_mod.restore_checkpoint(args.ckpt, state)
 
     apply_fn, pred_params, pred_stats = state.apply_fn, state.params, state.batch_stats
+    if args.fast:
+        if args.parallel:
+            print("--fast ignored with --parallel (sharded path builds its "
+                  "own step)")
+        elif args.fold_bn:
+            print("--fast ignored with --fold_bn (pick one eval fast path)")
+        else:
+            apply_fn = R.make_fast_apply(cfg)
     if args.fold_bn:
         if args.parallel:
             print("--fold_bn ignored with --parallel (sharded path keeps the "

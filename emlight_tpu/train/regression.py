@@ -186,6 +186,27 @@ def predict(apply_fn, params, batch_stats, crop):
     return apply_fn({"params": params, "batch_stats": batch_stats}, crop, train=False)
 
 
+def make_fast_apply(cfg: RegressionConfig):
+    """Concat-free eval forward (nn/densenet_fast) as a drop-in apply_fn.
+
+    Consumes the standard variables tree — trained and torch-imported
+    checkpoints work unchanged. Eval only (train=True raises).
+    """
+    from ..nn.densenet_fast import fast_apply as _fast_apply
+
+    def apply_fn(variables, crop, train: bool = False):
+        assert not train, "fast_apply is an eval-only forward"
+        return _fast_apply(
+            variables["params"], variables["batch_stats"], crop,
+            block_config=cfg.block_config,
+            growth_rate=cfg.growth_rate,
+            num_init_features=cfg.num_init_features,
+            dtype=jnp.dtype(cfg.dtype),
+        )
+
+    return apply_fn
+
+
 def fold_for_inference(cfg: RegressionConfig, params, batch_stats):
     """Eval fast path: (apply_fn, params', batch_stats') with every dense
     layer's norm2 BN affine folded into its conv2 kernel + bias.

@@ -71,10 +71,11 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
         dtype="bfloat16",  # inference compute dtype; params stay f32
     )
     state = R.create_state(jax.random.PRNGKey(0), cfg)
+    eval_apply = R.make_eval_apply(cfg)  # default concat-free buffer forward
 
     @jax.jit
     def fn(params, batch_stats, crop):
-        pred = state.apply_fn({"params": params, "batch_stats": batch_stats}, crop, train=False)
+        pred = eval_apply({"params": params, "batch_stats": batch_stats}, crop, train=False)
         dist = jax.nn.softmax(pred["distribution"], axis=-1)
         env = render_anchor_params(
             dist, pred["intensity"][:, 0], pred["rgb_ratio"], pred["ambient"],
@@ -112,15 +113,15 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
     dt = time.perf_counter() - t0
     throughput = batch_size * iters / dt
 
-    # BN-fold eval fast path (exact parameter transform, cli --fold_bn);
-    # reported alongside the default so regressions in either path surface
-    fold_throughput = None
+    # reference-shaped DenseNet.apply (cli --eval_apply standard); reported
+    # alongside the default concat-free path so regressions in either surface.
+    # Demoted variants (BN fold, slab grouping) stayed slower on chip and live
+    # only in scripts/ (BASELINE.md rounds 3-4).
+    std_throughput = None
     try:
-        f_apply, f_params, f_stats = R.fold_for_inference(cfg, state.params, state.batch_stats)
-
         @jax.jit
-        def fn_fold(params, batch_stats, crop):
-            pred = f_apply({"params": params, "batch_stats": batch_stats}, crop, train=False)
+        def fn_std(params, batch_stats, crop):
+            pred = state.apply_fn({"params": params, "batch_stats": batch_stats}, crop, train=False)
             dist = jax.nn.softmax(pred["distribution"], axis=-1)
             env = render_anchor_params(
                 dist, pred["intensity"][:, 0], pred["rgb_ratio"], pred["ambient"],
@@ -129,20 +130,20 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
             return env, jnp.sum(env)
 
         @jax.jit
-        def run_fold(params, batch_stats, crop):
+        def run_std(params, batch_stats, crop):
             def body(acc, _):
-                _, s = fn_fold(params, batch_stats, crop + acc * 1e-30)
+                _, s = fn_std(params, batch_stats, crop + acc * 1e-30)
                 return acc + s, None
             total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
             return total
 
         for _ in range(2):
-            float(run_fold(f_params, f_stats, crop))
+            float(run_std(state.params, state.batch_stats, crop))
         t0 = time.perf_counter()
-        float(run_fold(f_params, f_stats, crop))
-        fold_throughput = batch_size * iters / (time.perf_counter() - t0)
+        float(run_std(state.params, state.batch_stats, crop))
+        std_throughput = batch_size * iters / (time.perf_counter() - t0)
     except Exception as e:
-        print(f"# fold_bn inference variant failed: {e!r}", file=sys.stderr)
+        print(f"# standard-apply inference variant failed: {e!r}", file=sys.stderr)
 
     # MFU: FLOPs of one forward (cost analysis of the single-step jit) over
     # measured step time, against the chip's bf16 MXU peak
@@ -157,7 +158,7 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
     t0 = time.perf_counter()
     float(run1(state.params, state.batch_stats, crop1))
     p50_ms = (time.perf_counter() - t0) / 50 * 1000
-    return throughput, p50_ms, mfu, fold_throughput
+    return throughput, p50_ms, mfu, std_throughput
 
 
 def bench_torch_reference(batch_size: int = 4, iters: int = 5):
@@ -488,7 +489,7 @@ def bench_sinkhorn(batch: int = 16, n: int = 96, reps: int = 200):
 
 
 def main():
-    throughput, p50_ms, mfu, fold_throughput = bench_tpu()
+    throughput, p50_ms, mfu, std_throughput = bench_tpu()
     try:
         ref = bench_torch_reference()
     except Exception:
@@ -540,7 +541,7 @@ def main():
         "vs_baseline": round(throughput / ref, 2) if ref else None,
         "p50_latency_ms_bs1": round(p50_ms, 2),
         "mfu_pct": round(mfu, 2) if mfu else None,
-        "fold_bn_images_per_sec": round(fold_throughput, 2) if fold_throughput else None,
+        "standard_apply_images_per_sec": round(std_throughput, 2) if std_throughput else None,
         "baseline_note": "baseline = reference-equivalent torch pipeline on host CPU (no GPU/published numbers exist)",
         "baseline_images_per_sec": round(ref, 3) if ref else None,
         "gt_extraction_panoramas_per_sec": round(gt_rate, 1) if gt_rate else None,

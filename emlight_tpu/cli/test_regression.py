@@ -32,13 +32,14 @@ def main(argv=None):
     ap.add_argument("--parallel", action="store_true",
                     help="shard each crop batch over all devices (data-parallel "
                          "inference; ragged batches are padded)")
-    ap.add_argument("--fold_bn", action="store_true",
-                    help="fold eval-mode BN affines into conv kernels (exact "
-                         "parameter transform, faster inference)")
-    ap.add_argument("--fast", action="store_true",
-                    help="concat-free eval forward (nn/densenet_fast): same "
-                         "checkpoint, same math modulo float reassociation, "
-                         "skips the dense blocks' growing channel-concats")
+    ap.add_argument("--eval_apply", choices=("fast", "standard"), default="fast",
+                    help="eval forward: 'fast' (default) is the concat-free "
+                         "NCHW buffer forward (nn/densenet_fast.buffer_apply, "
+                         "1.36x on a v5e at bs 128 bf16; same checkpoint, same "
+                         "math modulo float reassociation); 'standard' is the "
+                         "reference-shaped DenseNet.apply. Demoted variants "
+                         "(BN folding, slab grouping) live in scripts/ — "
+                         "measured slower on chip, see BASELINE.md")
     ap.add_argument("--block_config", default="16,16,16")
     ap.add_argument("--crop", default="192,256")
     ap.add_argument("--clip_grad_norm", type=float, default=0.0,
@@ -84,22 +85,8 @@ def main(argv=None):
         state = ckpt_mod.restore_checkpoint(args.ckpt, state)
 
     apply_fn, pred_params, pred_stats = state.apply_fn, state.params, state.batch_stats
-    if args.fast:
-        if args.parallel:
-            print("--fast ignored with --parallel (sharded path builds its "
-                  "own step)")
-        elif args.fold_bn:
-            print("--fast ignored with --fold_bn (pick one eval fast path)")
-        else:
-            apply_fn = R.make_fast_apply(cfg)
-    if args.fold_bn:
-        if args.parallel:
-            print("--fold_bn ignored with --parallel (sharded path keeps the "
-                  "checkpoint's parameter structure)")
-        else:
-            apply_fn, pred_params, pred_stats = R.fold_for_inference(
-                cfg, state.params, state.batch_stats
-            )
+    if args.eval_apply == "fast":
+        apply_fn = R.make_eval_apply(cfg)
 
     crop_dir = args.crops or os.path.join(args.data_root, "crop")
     names = sorted(n for n in os.listdir(crop_dir) if n.endswith(".exr"))
@@ -113,7 +100,10 @@ def main(argv=None):
 
         mesh = make_mesh()
         n_data = mesh.shape[DATA_AXIS]
-        run_parallel = make_parallel_predict(cfg, mesh)
+        run_parallel = make_parallel_predict(
+            cfg, mesh,
+            apply_fn=None if args.eval_apply == "fast" else state.apply_fn,
+        )
         state = replicate(state, mesh)
 
     for s in range(0, len(names), args.batch):

@@ -235,7 +235,7 @@ def make_parallel_fused_step(cfg: ProjectorConfig, mesh: Mesh,
     ))
 
 
-def make_parallel_predict(cfg: RegressionConfig, mesh: Mesh):
+def make_parallel_predict(cfg: RegressionConfig, mesh: Mesh, apply_fn=None):
     """Data-parallel regression inference: crops sharded over the data axis.
 
     The reference has no multi-GPU inference path (RegressionNetwork/test.py
@@ -243,10 +243,15 @@ def make_parallel_predict(cfg: RegressionConfig, mesh: Mesh):
     reads stored statistics, so no collectives are emitted — XLA just runs
     each shard's forward locally. The crop batch must be divisible by the
     mesh's data-axis size (mesh.pad_leading handles ragged tails).
+
+    Each shard runs the default concat-free eval forward
+    (train/regression.py::make_eval_apply); pass `apply_fn` to override
+    (e.g. `state.apply_fn` for the reference-shaped forward).
     """
+    eval_apply = apply_fn or reg.make_eval_apply(cfg)
 
     def core(state, crop):
-        return reg.predict(state.apply_fn, state.params, state.batch_stats, crop)
+        return reg.predict(eval_apply, state.params, state.batch_stats, crop)
 
     sharded = shard_map(
         core,

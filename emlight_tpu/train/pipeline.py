@@ -81,8 +81,11 @@ def pipeline_inference(reg_state, proj_state, crop_reg, crop_proj,
     Returns (env (B, H, W, 3) HDR, pred dict with distribution/intensity/
     rgb_ratio/ambient — the test_regression pickle fields).
     """
+    # default concat-free eval forward (1.36x the standard apply on v5e);
+    # closure creation per trace is free — this jit is keyed on reg_cfg
     pred = reg.predict(
-        reg_state.apply_fn, reg_state.params, reg_state.batch_stats, crop_reg
+        reg.make_eval_apply(reg_cfg), reg_state.params, reg_state.batch_stats,
+        crop_reg,
     )
     env_h, env_w = proj_cfg.crop_size // 2, proj_cfg.crop_size
     with proj.compute_ctx(proj_cfg, use_pallas):

@@ -23,7 +23,7 @@ from ..losses.sinkhorn import SamplesLoss
 from ..nn.densenet import DenseNet
 
 __all__ = ["RegressionState", "create_state", "train_step", "eval_step", "loss_fn",
-           "run_init"]
+           "run_init", "make_eval_apply"]
 
 
 def run_init(init_fn, *args):
@@ -186,17 +186,26 @@ def predict(apply_fn, params, batch_stats, crop):
     return apply_fn({"params": params, "batch_stats": batch_stats}, crop, train=False)
 
 
-def make_fast_apply(cfg: RegressionConfig):
-    """Concat-free eval forward (nn/densenet_fast) as a drop-in apply_fn.
+def make_eval_apply(cfg: RegressionConfig):
+    """The DEFAULT inference forward: concat-free NCHW buffer eval
+    (nn/densenet_fast.buffer_apply) as a drop-in apply_fn.
+
+    Measured on a v5e chip (bs 128 bf16, env render on, scripts/
+    exp_fast_apply.py, 2026-08-19): 400.9 img/s vs 294.1 for the standard
+    DenseNet.apply (1.36x) — the growing channel-concat the standard forward
+    rewrites every dense layer is pure HBM traffic; the buffer forward
+    dynamic-update-slices 12 contiguous channel planes instead. The slab-
+    grouped fast_apply variants measured SLOWER than baseline (281/251/251
+    img/s at group 4/8/2) and stay in scripts/exp_fast_apply.py as a ledger.
 
     Consumes the standard variables tree — trained and torch-imported
     checkpoints work unchanged. Eval only (train=True raises).
     """
-    from ..nn.densenet_fast import fast_apply as _fast_apply
+    from ..nn.densenet_fast import buffer_apply as _buffer_apply
 
     def apply_fn(variables, crop, train: bool = False):
-        assert not train, "fast_apply is an eval-only forward"
-        return _fast_apply(
+        assert not train, "buffer_apply is an eval-only forward"
+        return _buffer_apply(
             variables["params"], variables["batch_stats"], crop,
             block_config=cfg.block_config,
             growth_rate=cfg.growth_rate,

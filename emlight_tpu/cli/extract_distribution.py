@@ -54,26 +54,34 @@ def main(argv=None):
 
     from .. import native
 
+    def _load_python(chunk):
+        imgs = []
+        for nm in chunk:
+            img = read_hdr(os.path.join(args.hdr_dir, nm))
+            if img.shape[:2] != (h, w):
+                img = resize_panorama(img, (w, h))
+            imgs.append(img.astype(np.float32))
+        return np.stack(imgs)
+
     if native.available():
-        # threaded C++ decode + area resize straight into one batch buffer
+        # threaded C++ decode + area resize straight into one batch buffer;
+        # batches the native codec can't decode (e.g. compression schemes it
+        # doesn't implement in a mixed-compression dir) fall back to the
+        # pure-Python codec, which handles the full supported set
         def loader():
             for s in range(0, len(names), args.batch):
                 chunk = names[s : s + args.batch]
-                imgs, _ = native.load_batch(
-                    [os.path.join(args.hdr_dir, nm) for nm in chunk], (h, w)
-                )
+                try:
+                    imgs, _ = native.load_batch(
+                        [os.path.join(args.hdr_dir, nm) for nm in chunk], (h, w)
+                    )
+                except OSError:
+                    imgs = _load_python(chunk)
                 yield chunk, imgs
     else:
         def loader():
             for s in range(0, len(names), args.batch):
-                chunk = names[s : s + args.batch]
-                imgs = []
-                for nm in chunk:
-                    img = read_hdr(os.path.join(args.hdr_dir, nm))
-                    if img.shape[:2] != (h, w):
-                        img = resize_panorama(img, (w, h))
-                    imgs.append(img.astype(np.float32))
-                yield chunk, np.stack(imgs)
+                yield names[s : s + args.batch], _load_python(names[s : s + args.batch])
 
     def _preview(para, args, nm):
         from PIL import Image

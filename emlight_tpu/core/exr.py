@@ -4,9 +4,11 @@ The reference reads/writes HDR panoramas with the OpenEXR C++ bindings
 (RegressionNetwork/util.py:20-33,301-306; GenProjector/util.py:248-277). This
 image ships no EXR backend at all, so the framework brings its own codec:
 
-- read:  scanline images, NONE / ZIPS / ZIP / PIZ-free subset, HALF / FLOAT / UINT
-         channels, arbitrary channel names (R,G,B[,A] returned as HxWx3 float32)
-- write: scanline FLOAT or HALF with ZIP compression (and NONE)
+- read:  scanline images, NONE / ZIPS / ZIP / PIZ compression, HALF / FLOAT /
+         UINT channels, arbitrary channel names (R,G,B[,A] returned as HxWx3
+         float32). PIZ (wavelet+Huffman, the common Laval wire format) decodes
+         through core/piz.py.
+- write: scanline FLOAT or HALF with ZIP, PIZ, or no compression
 
 A native C++ implementation with the same wire format lives in
 emlight_tpu/native (used automatically when built); this module is the always-
@@ -26,7 +28,7 @@ _MAGIC = 20000630
 _PT_UINT, _PT_HALF, _PT_FLOAT = 0, 1, 2
 _PT_DTYPE = {_PT_UINT: np.uint32, _PT_HALF: np.float16, _PT_FLOAT: np.float32}
 _NO_COMPRESSION, _RLE, _ZIPS, _ZIP, _PIZ = 0, 1, 2, 3, 4
-_LINES_PER_CHUNK = {_NO_COMPRESSION: 1, _ZIPS: 1, _ZIP: 16, _RLE: 1}
+_LINES_PER_CHUNK = {_NO_COMPRESSION: 1, _ZIPS: 1, _ZIP: 16, _RLE: 1, _PIZ: 32}
 
 
 class EXRError(ValueError):
@@ -118,7 +120,7 @@ def read_exr(path: str, channels: str | None = None) -> np.ndarray:
     x_min, y_min, x_max, y_max = struct.unpack("<iiii", attrs["dataWindow"][1])
     width = x_max - x_min + 1
     height = y_max - y_min + 1
-    if comp not in (_NO_COMPRESSION, _ZIPS, _ZIP):
+    if comp not in (_NO_COMPRESSION, _ZIPS, _ZIP, _PIZ):
         raise EXRError(f"unsupported compression {comp}")
     lines_per_chunk = _LINES_PER_CHUNK[comp]
     n_chunks = -(-height // lines_per_chunk)
@@ -137,8 +139,15 @@ def read_exr(path: str, channels: str | None = None) -> np.ndarray:
         row0 = y - y_min
         n_lines = min(lines_per_chunk, height - row0)
         expected = bytes_per_line * n_lines
-        if comp in (_ZIPS, _ZIP) and size < expected:
-            data = _zip_decode(data, expected)
+        # a chunk whose compressed size reaches the raw size is stored raw
+        if size < expected:
+            if comp in (_ZIPS, _ZIP):
+                data = _zip_decode(data, expected)
+            elif comp == _PIZ:
+                from .piz import decode_chunk
+
+                units = [np.dtype(dtypes[n]).itemsize // 2 for n in names]
+                data = decode_chunk(data, units, width, n_lines)
         pos = 0
         for li in range(n_lines):
             for n in names:
@@ -174,7 +183,8 @@ def write_exr(
     h, w, c = data.shape
     if c != len(channels):
         raise EXRError(f"data has {c} channels but channel string is {channels!r}")
-    comp = {"none": _NO_COMPRESSION, "zip": _ZIP, "zips": _ZIPS}[compression]
+    comp = {"none": _NO_COMPRESSION, "zip": _ZIP, "zips": _ZIPS,
+            "piz": _PIZ}[compression]
     ptype = _PT_HALF if half else _PT_FLOAT
     dtype = _PT_DTYPE[ptype]
     order = sorted(range(c), key=lambda i: channels[i])
@@ -216,10 +226,15 @@ def write_exr(
         raw = b"".join(parts)
         if comp in (_ZIP, _ZIPS):
             enc = _zip_encode(raw)
-            if len(enc) >= len(raw):
-                enc = raw
+        elif comp == _PIZ:
+            from .piz import encode_chunk
+
+            units = [np.dtype(dtype).itemsize // 2] * c
+            enc = encode_chunk(raw, units, w, n_lines)
         else:
             enc = raw
+        if len(enc) >= len(raw):
+            enc = raw  # readers treat size == raw size as uncompressed
         chunks.append((row0, enc))
 
     with open(path, "wb") as f:

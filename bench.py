@@ -458,6 +458,48 @@ def bench_pipeline(batch_size: int = 8, steps: int = 6):
     return (time.perf_counter() - t0) / steps * 1000
 
 
+def bench_regression_train(batch_size: int = 16, steps: int = 10):
+    """Full regression train step (Sinkhorn EMD + L2 losses + Adam) at the
+    reference batch size 16 with remat+bf16 — the recommended full-size
+    config (f32 bs16 without remat exceeds one 16GB chip, BASELINE.md).
+    Returns ms/step."""
+    import jax
+    import jax.numpy as jnp
+
+    from emlight_tpu.config import AnchorConfig, RegressionConfig
+    from emlight_tpu.train import regression as R
+    from emlight_tpu.train.data import synthetic_regression_batch
+
+    cfg = dataclasses.replace(
+        RegressionConfig(),
+        anchors=AnchorConfig(regression_anchors=128),
+        batch_size=batch_size, dtype="bfloat16", remat=True,
+    )
+    state = R.create_state(jax.random.PRNGKey(0), cfg)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_regression_batch(
+            batch_size, cfg.anchors.regression_anchors,
+            (cfg.crop_h, cfg.crop_w),
+        ).items()
+    }
+
+    def run_n(st, b):
+        def body(carry, _):
+            st2, metrics = R.train_step(carry, b, cfg)
+            return st2, metrics["loss"]
+
+        return jax.lax.scan(body, st, None, length=steps)
+
+    compiled = jax.jit(run_n).lower(state, batch).compile()
+    out = compiled(state, batch)
+    float(out[1][-1])
+    t0 = time.perf_counter()
+    out = compiled(state, batch)
+    float(out[1][-1])
+    return (time.perf_counter() - t0) / steps * 1000
+
+
 def bench_sinkhorn(batch: int = 16, n: int = 96, reps: int = 200):
     """Sinkhorn EMD value+grad per loss call (the regression loss at reference
     shapes: bs 16, 96 anchors), XLA scanned-loop backend. A fused Pallas loop
@@ -514,6 +556,12 @@ def main():
     except Exception as e:
         print(f"# bench_sinkhorn failed: {e!r}", file=sys.stderr)
         sink_us = None
+    reg_train_ms = None
+    if os.environ.get("EMLIGHT_BENCH_GAN", "1") != "0":  # same budget knob
+        try:
+            reg_train_ms = bench_regression_train()
+        except Exception as e:
+            print(f"# bench_regression_train failed: {e!r}", file=sys.stderr)
     # full-size GSPMD dp x tp capability record (dist/fullsize_check.py):
     # compiled + executed on a virtual 8-device CPU mesh. Expensive (CPU
     # executes a full-size fused G+D step), so the default is to report the
@@ -525,13 +573,29 @@ def main():
 
             auto_full = {**_auto_run(), "source": "live"}
         else:
-            art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "docs", "AUTO_FULLSIZE.json")
+            here = os.path.dirname(os.path.abspath(__file__))
+            art = os.path.join(here, "docs", "AUTO_FULLSIZE.json")
             if os.path.exists(art):
                 with open(art) as f:
                     auto_full = {**json.load(f), "source": "committed artifact "
                                  "(docs/AUTO_FULLSIZE.json; re-run with "
                                  "EMLIGHT_BENCH_AUTO_FULL=live)"}
+                # staleness flag: any kernel/model/dist source newer than the
+                # artifact means its numbers no longer describe this tree
+                src_dirs = [os.path.join(here, "emlight_tpu", d)
+                            for d in ("nn", "dist", "train")]
+                newest = max(
+                    (os.path.getmtime(os.path.join(d, f))
+                     for d in src_dirs if os.path.isdir(d)
+                     for f in os.listdir(d) if f.endswith(".py")),
+                    default=0.0,
+                )
+                if newest > os.path.getmtime(art):
+                    auto_full["stale"] = True
+                    auto_full["stale_note"] = (
+                        "kernel/model source newer than this artifact; "
+                        "re-record with EMLIGHT_BENCH_AUTO_FULL=live"
+                    )
     except Exception as e:
         print(f"# fullsize_check failed: {e!r}", file=sys.stderr)
     result = {
@@ -566,6 +630,9 @@ def main():
         result["e2e_pipeline_images_per_sec"] = round(8 / (pipe_ms / 1000), 1)
     if sink_us is not None:
         result["sinkhorn_us_per_call"] = round(sink_us, 1)
+    if reg_train_ms is not None:
+        result["regression_train_step_ms_bs16"] = round(reg_train_ms, 1)
+        result["regression_train_images_per_sec"] = round(16 / (reg_train_ms / 1000), 1)
     if auto_full is not None:
         result["gspmd_fullsize_dp_tp"] = auto_full
     print(json.dumps(result))

@@ -253,17 +253,34 @@ def _run_scanned(args, cfg, state, batches, total_steps, timer, logger, guard,
         chunk = list(itertools.islice(it, min(n, total_steps - timer.step)))
         if not chunk:
             break
-        stacked = {
-            k: np.stack([np.asarray(c[k]) for c in chunk])
-            for k in chunk[0]
-            if not isinstance(chunk[0][k], list)
-        }
         base = timer.step
         t0 = time.perf_counter()
-        state, metrics, fake = P.scanned_fused_steps(
-            state, stacked, cfg, vgg_apply, vgg_variables, use_pallas
-        )
-        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        if len(chunk) < n:
+            # ragged tail: a shorter lax.scan is a different program shape and
+            # would recompile the whole scanned fused step (~200 s generator
+            # compile, BASELINE.md) for a few steps — run the remainder
+            # through the per-step fused path instead (smaller program, and
+            # the one every non-scanned run already compiles)
+            rows = []
+            for c in chunk:
+                jb = {k: v for k, v in c.items() if not isinstance(v, list)}
+                state, row, fake = P.fused_gan_step(
+                    state, jb, cfg, vgg_apply, vgg_variables, use_pallas
+                )
+                rows.append(row)
+            metrics = {
+                k: np.stack([np.asarray(r[k]) for r in rows]) for k in rows[0]
+            }
+        else:
+            stacked = {
+                k: np.stack([np.asarray(c[k]) for c in chunk])
+                for k in chunk[0]
+                if not isinstance(chunk[0][k], list)
+            }
+            state, metrics, fake = P.scanned_fused_steps(
+                state, stacked, cfg, vgg_apply, vgg_variables, use_pallas
+            )
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
         timer.add(len(chunk), time.perf_counter() - t0)
         for i in range(len(chunk)):
             row = {k: v[i] for k, v in metrics.items()}

@@ -5,8 +5,9 @@
 // data.py:46-84, GenProjector/data.py:58-108) — single-threaded, and in
 // GenProjector's case even forcing nThreads=0. This library provides:
 //
-//   - an OpenEXR scanline codec (NONE / ZIPS / ZIP compression; HALF / FLOAT /
-//     UINT channels) with no external EXR dependency (zlib only),
+//   - an OpenEXR scanline codec (NONE / ZIPS / ZIP / PIZ compression; HALF /
+//     FLOAT / UINT channels) with no external EXR dependency (zlib only);
+//     PIZ decode mirrors core/piz.py (its correctness oracle),
 //   - the TonemapHDR alpha computation (gamma power + percentile of nonzero
 //     values, RegressionNetwork/util.py:36-66) in C++,
 //   - a multi-threaded batch loader: decode + optional area-resize + tonemap
@@ -32,7 +33,7 @@ namespace {
 
 constexpr int kMagic = 20000630;
 enum PixelType { UINT = 0, HALF = 1, FLOAT = 2 };
-enum Compression { NONE = 0, RLE = 1, ZIPS = 2, ZIP = 3 };
+enum Compression { NONE = 0, RLE = 1, ZIPS = 2, ZIP = 3, PIZ = 4 };
 
 thread_local std::string g_error;
 
@@ -191,6 +192,293 @@ void zip_preprocess(const uint8_t* raw, size_t n, std::vector<uint8_t>* out) {
 
 int type_size(int t) { return t == HALF ? 2 : 4; }
 
+// ---------------------------------------------------------------------------
+// PIZ decode (wavelet + Huffman; the format core/piz.py implements in Python).
+// Chunk := minNonZero:u16 maxNonZero:u16 bitmap[min..max] hufLen:u32 hufData.
+namespace piz {
+
+constexpr int kBitmapSize = 8192;
+constexpr int kEncSize = 65537;  // u16 range + the run-length pseudo symbol
+constexpr int kDecBits = 14;
+constexpr int kMaxCodeLen = 58;
+constexpr int kShortZerocodeRun = 59;
+constexpr int kLongZerocodeRun = 63;
+constexpr int kShortestLongRun = 2 + kLongZerocodeRun - kShortZerocodeRun;  // 6
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  unsigned __int128 acc = 0;
+  int nbits = 0;
+  BitReader(const uint8_t* data, size_t n) : p(data), end(data + n) {}
+  void fill(int n) {
+    while (nbits < n) {
+      uint8_t b = p < end ? *p++ : 0;
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
+  }
+  uint64_t peek(int n) {
+    fill(n);
+    return (uint64_t)((acc >> (nbits - n)) & (((unsigned __int128)1 << n) - 1));
+  }
+  void consume(int n) {
+    nbits -= n;
+    acc &= ((unsigned __int128)1 << nbits) - 1;
+  }
+  uint64_t read(int n) {
+    uint64_t v = peek(n);
+    consume(n);
+    return v;
+  }
+  void byte_align() {  // drop residual bits; stream resumes at next byte
+    acc = 0;
+    nbits = 0;
+  }
+};
+
+inline void wdec14(uint16_t l, uint16_t h, uint16_t* a, uint16_t* b) {
+  int16_t ls = (int16_t)l, hs = (int16_t)h;
+  int hi = hs;
+  int ai = (int)ls + (hi & 1) + (hi >> 1);
+  int16_t as = (int16_t)ai;
+  int16_t bs = (int16_t)(as - hi);
+  *a = (uint16_t)as;
+  *b = (uint16_t)bs;
+}
+
+inline void wdec16(uint16_t l, uint16_t h, uint16_t* a, uint16_t* b) {
+  int m = l, d = h;
+  int bb = (m - (d >> 1)) & 0xFFFF;
+  int aa = (d + bb - 0x8000) & 0xFFFF;
+  *b = (uint16_t)bb;
+  *a = (uint16_t)aa;
+}
+
+// 2-D integer wavelet inverse over a (ny, nx) plane with x stride ox and
+// y stride oy (u16 units): levels in reverse of the forward transform.
+void wav2_decode(uint16_t* plane, int nx, int ox, int ny, int oy, int maxv) {
+  bool w14 = maxv < (1 << 14);
+  int n = nx < ny ? nx : ny;
+  std::vector<std::pair<int, int>> levels;
+  for (int p = 1, p2 = 2; p2 <= n; p = p2, p2 <<= 1) levels.push_back({p, p2});
+  for (auto it = levels.rbegin(); it != levels.rend(); ++it) {
+    int p = it->first, p2 = it->second;
+    int oy1 = oy * p, oy2 = oy * p2, ox1 = ox * p, ox2 = ox * p2;
+    uint16_t i00, i01, i10, i11, a, b;
+    uint16_t* py = plane;
+    uint16_t* ey = plane + (size_t)oy * (ny - p2);
+    uint16_t* px = py;
+    for (; py <= ey; py += oy2) {
+      px = py;
+      uint16_t* ex = py + (size_t)ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t *q01 = px + ox1, *q10 = px + oy1, *q11 = q10 + ox1;
+        if (w14) {
+          wdec14(*px, *q10, &i00, &i10);
+          wdec14(*q01, *q11, &i01, &i11);
+          wdec14(i00, i01, px, q01);
+          wdec14(i10, i11, q10, q11);
+        } else {
+          wdec16(*px, *q10, &i00, &i10);
+          wdec16(*q01, *q11, &i01, &i11);
+          wdec16(i00, i01, px, q01);
+          wdec16(i10, i11, q10, q11);
+        }
+      }
+      if (nx & p) {  // odd trailing column: 1-D vertical pass
+        uint16_t* q10 = px + oy1;
+        if (w14) wdec14(*px, *q10, &a, &b); else wdec16(*px, *q10, &a, &b);
+        *px = a;
+        *q10 = b;
+      }
+    }
+    if (ny & p) {  // odd trailing line: 1-D horizontal pass
+      px = py;
+      uint16_t* ex = py + (size_t)ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* q01 = px + ox1;
+        if (w14) wdec14(*px, *q01, &a, &b); else wdec16(*px, *q01, &a, &b);
+        *px = a;
+        *q01 = b;
+      }
+    }
+  }
+}
+
+// Canonical codes from lengths: first-code per length assigned from the
+// longest length downward, then symbols in index order.
+void canonical_codes(const uint8_t* lengths, uint64_t* codes) {
+  uint64_t counts[kMaxCodeLen + 1] = {0};
+  for (int i = 0; i < kEncSize; i++) counts[lengths[i]]++;
+  uint64_t first[kMaxCodeLen + 1] = {0};
+  uint64_t c = 0;
+  for (int l = kMaxCodeLen; l > 0; l--) {
+    first[l] = c;
+    c = (c + counts[l]) >> 1;
+  }
+  for (int i = 0; i < kEncSize; i++)
+    codes[i] = lengths[i] ? first[lengths[i]]++ : 0;
+}
+
+bool huf_decompress(const uint8_t* block, size_t size, uint16_t* out,
+                    size_t n_out) {
+  if (size < 20) return n_out == 0;
+  uint32_t im, iM, n_bits;
+  std::memcpy(&im, block, 4);
+  std::memcpy(&iM, block + 4, 4);
+  std::memcpy(&n_bits, block + 12, 4);
+  if (im >= kEncSize || iM >= kEncSize || im > iM)
+    return set_error("piz: corrupt huffman header"), false;
+  BitReader r(block + 20, size - 20);
+
+  std::vector<uint8_t> lengths(kEncSize, 0);
+  for (uint32_t i = im; i <= iM;) {
+    int l = (int)r.read(6);
+    if (l == kLongZerocodeRun) {
+      i += (uint32_t)r.read(8) + kShortestLongRun;
+    } else if (l >= kShortZerocodeRun) {
+      i += l - kShortZerocodeRun + 2;
+    } else {
+      if (l > kMaxCodeLen) return set_error("piz: code length > 58"), false;
+      lengths[i++] = (uint8_t)l;
+    }
+    if (i > iM + 1) return set_error("piz: corrupt length table"), false;
+  }
+  r.byte_align();
+
+  std::vector<uint64_t> codes(kEncSize);
+  canonical_codes(lengths.data(), codes.data());
+
+  // fast table over the top kDecBits bits; longer codes resolved by length
+  // bucket: canonical codes of one length are CONSECUTIVE (assigned in
+  // symbol-index order from first[l]), so lookup is a range check + offset
+  std::vector<uint8_t> tbl_len(1 << kDecBits, 0);
+  std::vector<uint32_t> tbl_lit(1 << kDecBits, 0);
+  std::vector<uint64_t> long_first(kMaxCodeLen + 1, 0);
+  std::vector<std::vector<uint32_t>> long_syms(kMaxCodeLen + 1);
+  int max_len = 0;
+  for (int s = 0; s < kEncSize; s++) {
+    int l = lengths[s];
+    if (!l) continue;
+    if (l > max_len) max_len = l;
+    if (l <= kDecBits) {
+      uint64_t base = codes[s] << (kDecBits - l);
+      for (uint64_t k = 0; k < (1ull << (kDecBits - l)); k++) {
+        tbl_len[base + k] = (uint8_t)l;
+        tbl_lit[base + k] = (uint32_t)s;
+      }
+    } else {
+      if (long_syms[l].empty()) long_first[l] = codes[s];
+      long_syms[l].push_back((uint32_t)s);
+    }
+  }
+
+  const uint32_t rlc = iM;
+  size_t i = 0;
+  while (i < n_out) {
+    uint64_t pk = r.peek(kDecBits);
+    uint32_t s;
+    int l = tbl_len[pk];
+    if (l) {
+      s = tbl_lit[pk];
+      r.consume(l);
+    } else {
+      bool found = false;
+      for (int cl = kDecBits + 1; cl <= max_len; cl++) {
+        if (long_syms[cl].empty()) continue;
+        uint64_t cand = r.peek(cl);
+        uint64_t off = cand - long_first[cl];
+        if (cand >= long_first[cl] && off < long_syms[cl].size()) {
+          s = long_syms[cl][off];
+          r.consume(cl);
+          found = true;
+          break;
+        }
+      }
+      if (!found) return set_error("piz: invalid huffman code"), false;
+    }
+    if (s == rlc) {
+      uint64_t run = r.read(8);
+      if (i == 0 || i + run > n_out)
+        return set_error("piz: corrupt run length"), false;
+      uint16_t v = out[i - 1];
+      for (uint64_t k = 0; k < run; k++) out[i++] = v;
+    } else {
+      out[i++] = (uint16_t)s;
+    }
+  }
+  return true;
+}
+
+// Full PIZ chunk -> raw scanline-interleaved bytes (the NONE layout).
+bool uncompress_chunk(const uint8_t* data, size_t size,
+                      const std::vector<Channel>& chans, int width,
+                      int n_lines, std::vector<uint8_t>* out) {
+  if (size < 4) return set_error("piz: truncated chunk"), false;
+  uint16_t min_nz, max_nz;
+  std::memcpy(&min_nz, data, 2);
+  std::memcpy(&max_nz, data + 2, 2);
+  size_t pos = 4;
+  if (min_nz >= kBitmapSize || max_nz >= kBitmapSize)
+    return set_error("piz: corrupt bitmap range"), false;
+  std::vector<uint8_t> bitmap(kBitmapSize, 0);
+  if (min_nz <= max_nz) {
+    size_t nb = (size_t)max_nz - min_nz + 1;
+    if (pos + nb > size) return set_error("piz: truncated bitmap"), false;
+    std::memcpy(bitmap.data() + min_nz, data + pos, nb);
+    pos += nb;
+  }
+  // reverse LUT: dense index -> u16 value (0 implicit)
+  std::vector<uint16_t> lut(65536, 0);
+  int maxv = 0;
+  {
+    int k = 0;
+    for (int v = 0; v < 65536; v++)
+      if (v == 0 || (bitmap[v >> 3] & (1 << (v & 7)))) lut[k++] = (uint16_t)v;
+    maxv = k - 1;
+  }
+  if (pos + 4 > size) return set_error("piz: truncated chunk"), false;
+  uint32_t huf_len;
+  std::memcpy(&huf_len, data + pos, 4);
+  pos += 4;
+  if (pos + huf_len > size) return set_error("piz: truncated huffman"), false;
+
+  size_t total = 0;
+  std::vector<size_t> offs;
+  std::vector<int> units;
+  for (const auto& c : chans) {
+    offs.push_back(total);
+    units.push_back(type_size(c.type) / 2);
+    total += (size_t)width * units.back() * n_lines;
+  }
+  std::vector<uint16_t> buf(total);
+  if (!huf_decompress(data + pos, huf_len, buf.data(), total)) return false;
+
+  for (size_t ci = 0; ci < chans.size(); ci++) {
+    int u = units[ci];
+    uint16_t* plane = buf.data() + offs[ci];
+    // each u16 lane of a multi-u16 channel wavelets independently
+    for (int j = 0; j < u; j++)
+      wav2_decode(plane + j, width, u, n_lines, width * u, maxv);
+  }
+  for (auto& v : buf) v = lut[v];
+
+  // reinterleave: line y = channel 0 row y, channel 1 row y, ...
+  out->resize(total * 2);
+  uint8_t* dst = out->data();
+  for (int y = 0; y < n_lines; y++) {
+    for (size_t ci = 0; ci < chans.size(); ci++) {
+      size_t n = (size_t)width * units[ci];
+      std::memcpy(dst, buf.data() + offs[ci] + (size_t)y * n, n * 2);
+      dst += n * 2;
+    }
+  }
+  return true;
+}
+
+}  // namespace piz
+
 // Decode an EXR file into HxWx3 float32 (R,G,B; missing channels zero).
 bool decode_exr(const std::string& path, std::vector<float>* out, int* height,
                 int* width) {
@@ -200,10 +488,11 @@ bool decode_exr(const std::string& path, std::vector<float>* out, int* height,
                            std::istreambuf_iterator<char>());
   Header h;
   if (!parse_header(buf, &h)) return false;
-  if (h.compression != NONE && h.compression != ZIPS && h.compression != ZIP)
+  if (h.compression != NONE && h.compression != ZIPS && h.compression != ZIP &&
+      h.compression != PIZ)
     return set_error("unsupported compression " + std::to_string(h.compression)), false;
 
-  int lines_per_chunk = h.compression == ZIP ? 16 : 1;
+  int lines_per_chunk = h.compression == ZIP ? 16 : h.compression == PIZ ? 32 : 1;
   int n_chunks = (h.height + lines_per_chunk - 1) / lines_per_chunk;
   size_t off = h.data_offset;
   std::vector<int64_t> offsets(n_chunks);
@@ -227,12 +516,19 @@ bool decode_exr(const std::string& path, std::vector<float>* out, int* height,
     size_t expected = bytes_per_line * n_lines;
     const uint8_t* src = data;
     if (h.compression != NONE && (size_t)size < expected) {
-      uLongf dst_len = expected;
-      tmp.resize(expected);
-      if (uncompress(tmp.data(), &dst_len, data, size) != Z_OK || dst_len != expected)
-        return set_error("zlib inflate failed"), false;
-      zip_postprocess(tmp, &decomp);
-      src = decomp.data();
+      if (h.compression == PIZ) {
+        if (!piz::uncompress_chunk(data, (size_t)size, h.channels, w, n_lines,
+                                   &decomp))
+          return false;
+        src = decomp.data();
+      } else {
+        uLongf dst_len = expected;
+        tmp.resize(expected);
+        if (uncompress(tmp.data(), &dst_len, data, size) != Z_OK || dst_len != expected)
+          return set_error("zlib inflate failed"), false;
+        zip_postprocess(tmp, &decomp);
+        src = decomp.data();
+      }
     }
     size_t pos = 0;
     for (int li = 0; li < n_lines; li++) {

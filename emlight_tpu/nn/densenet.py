@@ -200,15 +200,24 @@ def fold_eval_variables(params, batch_stats, eps: float = 1e-5):
         stats = dict(s[name])
         a = layer["norm2"]["scale"] / jnp.sqrt(stats["norm2"]["var"] + eps)
         b = layer["norm2"]["bias"] - stats["norm2"]["mean"] * a
+        # A channel with |a| ~ 0 (decayed BN scale) makes -b/a explode and the
+        # border taps then rely on (k*a)*(-b/a) cancelling -k*b in floating
+        # point — catastrophic rounding, worse in bf16. Such a channel carries
+        # (numerically) no signal: zero its kernel column AND its pad, which
+        # folds it to the exact constant contribution b via the bias term.
+        tiny = jnp.abs(a) < 1e-12 * jnp.max(jnp.abs(a))
+        a_safe = jnp.where(tiny, 0.0, a)
         k = layer["conv2"]["kernel"]  # (3, 3, cin, cout)
         layer["conv2"] = {
-            "kernel": k * a[None, None, :, None],
+            "kernel": k * a_safe[None, None, :, None],
             "bias": jnp.einsum("hwio,i->o", k, b),
         }
         # conv2 zero-padded its input AFTER norm2: the folded conv must pad
-        # with norm2's preimage of zero. a == 0 kills the kernel column, so
-        # any finite pad value works there — use 0 to dodge the 0/0.
-        layer["conv2_pad"] = jnp.where(a == 0, 0.0, -b / jnp.where(a == 0, 1.0, a))
+        # with norm2's preimage of zero. A zeroed column makes any finite pad
+        # value correct there — use 0 to dodge the 0/0.
+        layer["conv2_pad"] = jnp.where(
+            tiny, 0.0, -b / jnp.where(tiny, 1.0, a_safe)
+        )
         del layer["norm2"]
         del stats["norm2"]
         p[name] = layer

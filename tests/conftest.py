@@ -120,34 +120,76 @@ def _clear_jax_caches_between_modules():
     gc.collect()
 
 
+def _child_cpu_seconds(pid: int) -> float | None:
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        # utime + stime are fields 14/15 of stat == indices 11/12 after ')'
+        return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _run_watched(cmd, env, budget: float, stall_s: float):
+    """Run cmd; kill on wall-budget OR when its CPU clock stops advancing.
+
+    The XLA:CPU rendezvous deadlock sits at 0% CPU forever, while a
+    legitimately slow cold compile burns CPU the whole time — watching the
+    child's CPU time separates the two without guessing a wall timeout that
+    fits every host speed (ADVICE round 3: a fixed 420 s killed slow-but-
+    alive cold compiles; a fixed 2400 s let deadlocks eat the suite)."""
+    import subprocess
+    import tempfile
+    import time
+
+    with tempfile.TemporaryFile(mode="w+") as log:
+        proc = subprocess.Popen(
+            cmd, env=env, stdout=log, stderr=subprocess.STDOUT, text=True
+        )
+        start = time.monotonic()
+        last_cpu, last_adv = -1.0, time.monotonic()
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                break
+            now = time.monotonic()
+            cpu = _child_cpu_seconds(proc.pid)
+            if cpu is None or cpu > last_cpu + 0.5:
+                last_cpu, last_adv = cpu if cpu is not None else last_cpu, now
+            if now - start > budget:
+                proc.kill()
+                proc.wait()
+                rc = f"wall timeout {budget:.0f}s"
+                break
+            if now - last_adv > stall_s:
+                proc.kill()
+                proc.wait()
+                rc = f"stalled (no CPU progress for {stall_s:.0f}s)"
+                break
+            time.sleep(2)
+        log.seek(0)
+        return rc, log.read()
+
+
 def run_module_isolated(path: str, attempts: int = 2, timeout: int = 420) -> None:
     """Run a test module in a fresh interpreter, retrying on crash.
 
     For the collective-heavy GSPMD modules: XLA:CPU's in-process rendezvous
     intermittently aborts/deadlocks the WHOLE process on small hosts (see the
     _COLLECTIVE_TIMEOUT_FLAGS note above), so they run out-of-process where a
-    lost rendezvous costs one bounded retry instead of the suite.
+    lost rendezvous costs one bounded retry instead of the suite. Stall
+    detection (see _run_watched) kills a deadlocked child in ~2 min while a
+    slow-but-alive cold compile gets the full first-attempt budget.
     """
-    import subprocess
-
     env = {**os.environ, "EMLIGHT_GSPMD_CHILD": "1"}
+    cmd = [sys.executable, "-m", "pytest", path, "-q", "-x"]
     tails = []
-    for _ in range(attempts):
-        try:
-            last = subprocess.run(
-                [sys.executable, "-m", "pytest", path, "-q", "-x"],
-                env=env, capture_output=True, text=True, timeout=timeout,
-            )
-        except subprocess.TimeoutExpired as e:
-            # deadlocked child (killed by the timeout): retry like a crash
-            tails.append(f"TIMEOUT after {timeout}s:\n{(e.stdout or b'')[-2000:]}")
-            continue
-        if last.returncode == 0:
+    for attempt in range(attempts):
+        budget = max(timeout, 2400) if attempt == 0 else timeout
+        rc, out = _run_watched(cmd, env, budget, stall_s=120)
+        if rc == 0:
             return
-        tails.append(
-            f"rc={last.returncode}:\n"
-            + (last.stdout[-3000:] or "") + (last.stderr[-2000:] or "")
-        )
+        tails.append(f"rc={rc}:\n{out[-3000:]}")
     raise AssertionError(
         f"isolated module {os.path.basename(path)} failed after {attempts} "
         "attempts\n" + "\n---\n".join(tails)

@@ -186,3 +186,70 @@ def test_preview_cli(laval_root, tmp_path):
     out = tmp_path / "previews"
     main(["--hdr_dir", str(laval_root / "warped"), "--out_dir", str(out)])
     assert len(list(out.glob("*.jpg"))) == 4
+
+
+def test_eval_metrics_cli(laval_root, tmp_path):
+    """Self-consistency: evaluating a checkpoint against GT pickles built from
+    its OWN predictions (alpha-unscaled so the dataset's scaling reproduces
+    them exactly) must report ~zero errors everywhere."""
+    import json
+
+    import jax
+
+    from emlight_tpu.cli.eval_metrics import main as eval_main
+    from emlight_tpu.config import AnchorConfig, RegressionConfig
+    from emlight_tpu.core.hdr import TONEMAP_INPUT, read_hdr, resize_panorama
+    from emlight_tpu.train import checkpoint as ckpt_mod
+    from emlight_tpu.train import regression as R
+
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        RegressionConfig(),
+        anchors=AnchorConfig(regression_anchors=96),
+        crop_h=64, crop_w=64, block_config=(2,),
+    )
+    state = R.create_state(jax.random.PRNGKey(0), cfg)
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    ckpt_mod.save_checkpoint(str(ckpt_dir), state, "latest")
+    ckpt = ckpt_dir / "latest.msgpack"
+
+    # predictions on the dataset's crops, through the SAME tonemap+resize
+    root = tmp_path / "selfdata"
+    (root / "crop").mkdir(parents=True)
+    (root / "pkl").mkdir()
+    apply_fn = R.make_eval_apply(cfg)
+    import shutil
+
+    import jax.numpy as jnp
+    for i in range(3):
+        src = laval_root / "crop" / f"s{i}.exr"
+        shutil.copy(src, root / "crop" / f"s{i}.exr")
+        img = read_hdr(str(src))
+        toned, alpha = TONEMAP_INPUT(img)
+        toned = resize_panorama(toned, (64, 64))
+        pred = R.predict(apply_fn, state.params, state.batch_stats,
+                         jnp.asarray(toned[None]))
+        # invert the dataset's alpha plumbing (RegressionNetwork/data.py:71-73)
+        para = {
+            "distribution": np.asarray(pred["distribution"][0]),
+            "intensity": float(pred["intensity"][0, 0]) * 500.0 / alpha,
+            "rgb_ratio": np.asarray(pred["rgb_ratio"][0]),
+            "ambient": np.asarray(pred["ambient"][0]) * (128 * 256) / alpha,
+        }
+        with open(root / "pkl" / f"s{i}.pickle", "wb") as f:
+            pickle.dump(para, f)
+
+    out_json = tmp_path / "metrics.json"
+    eval_main([
+        "--ckpt", str(ckpt), "--data_root", str(root), "--out", str(out_json),
+        "--anchors", "96", "--block_config", "2", "--crop", "64,64",
+        "--batch", "2",
+    ])
+    m = json.loads(out_json.read_text())
+    assert m["n_samples"] == 3
+    for k in ("dist_rmse", "env_rmse", "env_sirmse", "angular_err_deg",
+              "angular_err_mean_dir_deg", "intensity_rel_err"):
+        assert m[k]["mean"] < 1e-2, (k, m[k])
+    assert m["angular_err_deg"]["mean"] == 0.0

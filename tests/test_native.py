@@ -16,10 +16,24 @@ pytestmark = pytest.mark.skipif(
 def test_native_reads_python_written(tmp_path):
     rng = np.random.default_rng(0)
     img = (rng.random((37, 53, 3)) * 100).astype(np.float32)
-    for comp in ("none", "zip", "zips"):
+    for comp in ("none", "zip", "zips", "piz"):
         p = str(tmp_path / f"{comp}.exr")
         pyexr.write_exr(p, img, compression=comp)
         np.testing.assert_array_equal(native.read_exr(p), img)
+
+
+def test_native_piz_half_and_smooth(tmp_path):
+    """PIZ half: smooth HDR data (the compressing case; exercises short AND
+    long Huffman codes, the RLE symbol, and the 14-bit wavelet mode)."""
+    h, w = 64, 96
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    img = np.stack(
+        [np.sin(6 * xx) * np.cos(3 * yy) + 1.2, xx * yy * 2,
+         np.exp(-((xx - 0.5) ** 2 + (yy - 0.3) ** 2) * 20) * 80], -1
+    ).astype(np.float32)
+    p = str(tmp_path / "piz_half.exr")
+    pyexr.write_exr(p, img, half=True, compression="piz")
+    np.testing.assert_array_equal(native.read_exr(p), pyexr.read_exr(p))
 
 
 def test_python_reads_native_written(tmp_path):

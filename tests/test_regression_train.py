@@ -34,8 +34,11 @@ def _batch(cfg, seed=0):
 def test_densenet_output_shapes_and_param_count():
     model = DenseNet(n_anchors=96)
     x = jnp.zeros((1, 192, 256, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=False)
+    # shapes + param count only: eval_shape skips the flagship-size compile
+    variables = jax.eval_shape(
+        lambda k: model.init(k, x, train=False), jax.random.PRNGKey(0)
+    )
+    out = jax.eval_shape(lambda v: model.apply(v, x, train=False), variables)
     assert out["distribution"].shape == (1, 96)
     assert out["intensity"].shape == (1, 1)
     assert out["rgb_ratio"].shape == (1, 3)

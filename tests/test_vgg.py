@@ -12,6 +12,7 @@ exercised inside both the single-device and the shard_mapped generator steps.
 import dataclasses
 import functools
 
+import flax.linen as fnn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -139,7 +140,31 @@ TINY = dataclasses.replace(
 )
 
 
-def test_generator_step_vgg_single_vs_parallel(oracle):
+class _TinyVGG(fnn.Module):
+    """5-slice stand-in with the VGG feature-list contract.
+
+    The generator step treats vgg_apply as a black box returning 5 feature
+    maps (train/projector.py); the REAL VGG19 math is oracle-tested above
+    (slices + loss + gradient vs torch). Using a small stand-in here keeps
+    the single-vs-parallel drift guard (the property under test) while
+    dropping the 16-conv/512-channel compile that made this the slowest
+    test in the suite — coverage of the two halves is unchanged, only the
+    redundant composition (full VGG19 *inside* the 8-device step) goes.
+    """
+
+    @fnn.compact
+    def __call__(self, x):
+        feats = []
+        for i in range(5):
+            x = fnn.Conv(8, (3, 3), padding=1, name=f"conv{i}")(x)
+            x = fnn.relu(x)
+            feats.append(x)
+            if i < 4:
+                x = fnn.max_pool(x, (2, 2), strides=(2, 2))
+        return feats
+
+
+def test_generator_step_vgg_single_vs_parallel():
     import os
     import subprocess
     import sys
@@ -148,7 +173,7 @@ def test_generator_step_vgg_single_vs_parallel(oracle):
         # Run the scenario in a FRESH interpreter. In a full-suite run (~120
         # prior tests of accumulated XLA CPU JIT state) jaxlib deterministically
         # segfaults in backend_compile_and_load while compiling this test's
-        # programs; alone it passes in ~4 min. Isolation keeps the coverage
+        # programs; alone it passes quickly. Isolation keeps the coverage
         # identical and the suite green.
         r = subprocess.run(
             [sys.executable, "-m", "pytest",
@@ -166,8 +191,9 @@ def test_generator_step_vgg_single_vs_parallel(oracle):
     from emlight_tpu.train import projector as P
     from emlight_tpu.train.data import synthetic_projector_batch
 
-    _, variables = oracle
-    vgg_apply = VGG19Features().apply
+    net = _TinyVGG()
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)))
+    vgg_apply = net.apply
 
     batch = {
         k: jnp.asarray(v)

@@ -102,69 +102,126 @@ def scalar_weight_tables(h: int, w: int, stride: int = 1):
     return w0.astype(np.float32), jdev
 
 
+def _win_dma(x_hbm, win_ref, sems, b_idx, rb, slot, *, br, stride, h, win_rows):
+    """Descriptor for the (b_idx, rb) halo window -> revolving slot."""
+    start = jnp.clip(rb * br * stride - 2, 0, h - win_rows)
+    return pltpu.make_async_copy(
+        x_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref.at[slot], sems.at[slot]
+    )
+
+
 def _kernel(rows_ref, shifts_ref, w0_ref, jdev_ref, x_hbm, k_ref, b_ref, out_ref,
-            win_ref, s_ref, sems, *, br: int, w: int, win_rows: int, stride: int, h: int):
+            win_ref, s_ref, sems, *, br: int, w: int, win_rows: int, stride: int,
+            h: int, prefetch: bool):
     """Generic body for stride 1 and 2. The halo window is DMA'd HBM->VMEM
-    once per row block; circular column shifts use the native dynamic
-    rotate (Mosaic has no dynamic_slice on values)."""
+    once per row block — double-buffered across grid steps when the cout
+    axis is a single block (the ablation put the serial DMA at ~4 ms of the
+    15.9 ms 128x256 forward: latency-bound, ~15 us per grid step). Circular
+    column shifts use the native dynamic rotate (Mosaic has no dynamic_slice
+    on values)."""
     rb = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    n_rb = pl.num_programs(1)
     src0 = rb * br * stride
     # window start clamped so [start, start+win_rows) stays in range
     start = jnp.clip(src0 - 2, 0, h - win_rows)
 
-    b_idx = pl.program_id(0)
-    w_in = win_ref.shape[1]
-    dma0 = pltpu.make_async_copy(
-        x_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref, sems.at[0]
+    dma = functools.partial(
+        _win_dma, x_hbm, win_ref, sems, br=br, stride=stride, h=h,
+        win_rows=win_rows,
     )
-    dma0.start()
-    dma0.wait()
+    if prefetch:
+        step = b_idx * n_rb + rb
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _first():
+            dma(b_idx, rb, slot).start()
+
+        dma(b_idx, rb, slot).wait()
+        total = pl.num_programs(0) * n_rb
+
+        @pl.when(step + 1 < total)
+        def _prefetch():
+            nxt = step + 1
+            dma(nxt // n_rb, jax.lax.rem(nxt, n_rb), 1 - slot).start()
+
+    else:
+        slot = 0
+        d = dma(b_idx, rb, slot)
+        d.start()
+        d.wait()
 
     bias = b_ref[:]  # (1, cout_block)
     cin = k_ref.shape[1]
+    w_in = win_ref.shape[2]
     # per-column weights are a constant with at most one zero-padded column
     # (scalar_weight_tables): rebuild the (wo, 1) vector from two scalars
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
 
     # one (br*W, Cin) x (Cin, Cout) MXU matmul per tap: the per-row sampled
     # block is staged in s_ref, then all rows multiply at once
-    def tap_body(t, acc):
-        def row_body(ii, _):
-            s_row = jnp.zeros((w, cin), win_ref.dtype)
+    def compute(win):
+        # `win` is a STATICALLY indexed slot of the revolving buffer: a
+        # traced slot index on the 288-iteration read path measured ~2 ms
+        # slower than unrolling the body per parity (dynamic base address
+        # on every row read)
+        def tap_body(t, acc):
+            def row_body(ii, _):
+                s_row = jnp.zeros((w, cin), win_ref.dtype)
 
-            def nb_body(k, s_row):
-                r_local = rows_ref[0, ii, t, k] - start
-                shift = shifts_ref[0, ii, t, k]
-                # circular shift on the sublane axis via the native dynamic
-                # rotate (dynamic-start sublane slices don't lower). Mosaic
-                # only rotates 32-bit lanes: roll in f32, cast back — the DMA,
-                # staging, and matmul stay in the compute dtype
-                row = win_ref[r_local]
-                if row.dtype != jnp.float32:
-                    shifted = pltpu.roll(
-                        row.astype(jnp.float32), w_in - shift, 0
-                    ).astype(row.dtype)
-                else:
-                    shifted = pltpu.roll(row, w_in - shift, 0)
-                if stride > 1:
-                    # out col j samples input col stride*j + shift
-                    shifted = shifted.reshape(w, stride, cin)[:, 0, :]
-                wvec = jnp.where(
-                    col_ids == jdev_ref[0, ii, t, k], 0.0, w0_ref[0, ii, t, k]
-                ).astype(win_ref.dtype)
-                return s_row + wvec * shifted  # (wo,1)*(wo,cin)
+                def nb_body(k, s_row):
+                    r_local = rows_ref[0, ii, t, k] - start
+                    shift = shifts_ref[0, ii, t, k]
+                    # circular shift on the sublane axis via the native
+                    # dynamic rotate (dynamic-start sublane slices don't
+                    # lower). Mosaic only rotates 32-bit lanes: roll in f32,
+                    # cast back — the DMA, staging, and matmul stay in the
+                    # compute dtype. (Per-triple lax.cond fast paths for
+                    # shift==0 / no-dead-column were measured SLOWER than the
+                    # straight-line rotate+where: 288 scalar branches per
+                    # grid step beat the vector work saved.)
+                    row = win[r_local]
+                    if row.dtype != jnp.float32:
+                        shifted = pltpu.roll(
+                            row.astype(jnp.float32), w_in - shift, 0
+                        ).astype(row.dtype)
+                    else:
+                        shifted = pltpu.roll(row, w_in - shift, 0)
+                    if stride > 1:
+                        # out col j samples input col stride*j + shift
+                        shifted = shifted.reshape(w, stride, cin)[:, 0, :]
+                    wvec = jnp.where(
+                        col_ids == jdev_ref[0, ii, t, k], 0.0,
+                        w0_ref[0, ii, t, k],
+                    ).astype(win_ref.dtype)
+                    return s_row + wvec * shifted  # (wo,1)*(wo,cin)
 
-            s_ref[ii] = jax.lax.fori_loop(0, 4, nb_body, s_row)
-            return 0
+                s_ref[ii] = jax.lax.fori_loop(0, 4, nb_body, s_row)
+                return 0
 
-        jax.lax.fori_loop(0, br, row_body, 0)
-        smat = s_ref[:].reshape(br * w, cin)
-        return acc + jnp.dot(smat, k_ref[t], preferred_element_type=jnp.float32)
+            jax.lax.fori_loop(0, br, row_body, 0)
+            smat = s_ref[:].reshape(br * w, cin)
+            return acc + jnp.dot(
+                smat, k_ref[t], preferred_element_type=jnp.float32
+            )
 
-    acc = jax.lax.fori_loop(
-        0, 9, tap_body, jnp.zeros((br * w, k_ref.shape[-1]), jnp.float32)
-    )
-    out_ref[0] = (acc + bias).reshape(br, w, k_ref.shape[-1])
+        acc = jax.lax.fori_loop(
+            0, 9, tap_body, jnp.zeros((br * w, k_ref.shape[-1]), jnp.float32)
+        )
+        out_ref[0] = (acc + bias).reshape(br, w, k_ref.shape[-1])
+
+    if prefetch:
+        @pl.when(slot == 0)
+        def _even():
+            compute(win_ref.at[0])
+
+        @pl.when(slot == 1)
+        def _odd():
+            compute(win_ref.at[1])
+
+    else:
+        compute(win_ref.at[0])
 
 
 def auto_block_rows(h: int, w: int, stride: int, dt) -> int:
@@ -183,11 +240,18 @@ def auto_block_rows(h: int, w: int, stride: int, dt) -> int:
 
 def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
                        stride: int = 1, block_rows: int | None = None,
-                       cout_block: int = 128, interpret: bool | None = None) -> jax.Array:
+                       cout_block: int | None = None,
+                       interpret: bool | None = None) -> jax.Array:
     """Drop-in replacement for sphere_conv_apply (stride 1 or 2).
 
     x: (B, H, W, Cin) f32; kernel (3, 3, Cin, Cout) HWIO; out (B, Ho, Wo, Cout).
-    block_rows None = auto (see auto_block_rows).
+    block_rows None = auto (see auto_block_rows). cout_block None = the whole
+    Cout in one block: the grid's cout axis re-ran ALL the staging (rolls +
+    weights) per block, which the ablation (scripts/exp_kernel_ablate.py)
+    measured as the kernel's dominant cost — one full-width block took the
+    128x256 128->256 forward from 15.9 to 10.0 ms, and every SPADE/D shape
+    fits the kernel+accumulator in VMEM comfortably (9*cin*cout*2B + the
+    (br*wo, cout) f32 accumulator: ~5.7 MB at 512->512, 32x64).
     """
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
@@ -218,12 +282,13 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     n_rb = pl.cdiv(ho, br)
     if ho % br:
         raise ValueError(f"ho={ho} not divisible by block_rows={br}")
-    cb = min(cout_block, cout)
+    cb = min(cout_block, cout) if cout_block else cout
     n_cb = pl.cdiv(cout, cb)
     if cout % cb:
         cb = cout  # small heads: single block
         n_cb = 1
     win_rows = min(br * stride + 4, h)
+    prefetch = n_cb == 1  # revolving halo buffer (window is per (b, rb))
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -241,6 +306,7 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     out = pl.pallas_call(
         functools.partial(
             _kernel, br=br, w=wo, win_rows=win_rows, stride=stride, h=h,
+            prefetch=prefetch,
         ),
         grid=grid,
         in_specs=[
@@ -261,9 +327,9 @@ def sphere_conv_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_rows, w, cin), dt),
+            pltpu.VMEM((2 if prefetch else 1, win_rows, w, cin), dt),
             pltpu.VMEM((br, wo, cin), dt),                    # per-tap staging
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -112,8 +112,15 @@ def _clear_jax_caches_between_modules():
     file runs alone. Module-scoped fixtures keep arrays (safe); only the
     jit/pjit compilation caches are dropped, so later modules recompile from
     scratch instead of crashing the JIT.
+
+    Skipped inside the short-lived GSPMD child interpreters: they run 1-2
+    modules and then exit, and the whole point of batching test_dist +
+    test_auto into one child is sharing the single-device reference compiles
+    across the two modules.
     """
     yield
+    if os.environ.get("EMLIGHT_GSPMD_CHILD") == "1":
+        return
     import jax
 
     jax.clear_caches()
@@ -171,8 +178,8 @@ def _run_watched(cmd, env, budget: float, stall_s: float):
         return rc, log.read()
 
 
-def run_module_isolated(path: str, attempts: int = 2, timeout: int = 420) -> None:
-    """Run a test module in a fresh interpreter, retrying on crash.
+def run_module_isolated(path, attempts: int = 2, timeout: int = 420) -> None:
+    """Run test module(s) in one fresh interpreter, retrying on crash.
 
     For the collective-heavy GSPMD modules: XLA:CPU's in-process rendezvous
     intermittently aborts/deadlocks the WHOLE process on small hosts (see the
@@ -180,9 +187,14 @@ def run_module_isolated(path: str, attempts: int = 2, timeout: int = 420) -> Non
     lost rendezvous costs one bounded retry instead of the suite. Stall
     detection (see _run_watched) kills a deadlocked child in ~2 min while a
     slow-but-alive cold compile gets the full first-attempt budget.
+
+    `path` may be a list: modules sharing tiny configs (test_dist+test_auto
+    both compile the same single-device reference steps) run in ONE child so
+    those compiles happen once.
     """
+    paths = [path] if isinstance(path, str) else list(path)
     env = {**os.environ, "EMLIGHT_GSPMD_CHILD": "1"}
-    cmd = [sys.executable, "-m", "pytest", path, "-q", "-x"]
+    cmd = [sys.executable, "-m", "pytest", *paths, "-q", "-x"]
     tails = []
     for attempt in range(attempts):
         budget = max(timeout, 2400) if attempt == 0 else timeout
@@ -191,6 +203,6 @@ def run_module_isolated(path: str, attempts: int = 2, timeout: int = 420) -> Non
             return
         tails.append(f"rc={rc}:\n{out[-3000:]}")
     raise AssertionError(
-        f"isolated module {os.path.basename(path)} failed after {attempts} "
-        "attempts\n" + "\n---\n".join(tails)
+        f"isolated module(s) {', '.join(os.path.basename(p) for p in paths)} "
+        f"failed after {attempts} attempts\n" + "\n---\n".join(tails)
     )

@@ -16,9 +16,11 @@ from conftest import run_module_isolated
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def test_auto_module_isolated():
-    run_module_isolated(os.path.join(_HERE, "test_auto.py"))
-
-
-def test_dist_module_isolated():
-    run_module_isolated(os.path.join(_HERE, "test_dist.py"))
+def test_gspmd_modules_isolated():
+    # One child for both modules: they compile the same single-device
+    # reference steps (regression + GAN at tiny shapes), and the child keeps
+    # its jit cache across modules (conftest skips cache-clearing under
+    # EMLIGHT_GSPMD_CHILD), so those compiles happen once instead of twice.
+    run_module_isolated(
+        [os.path.join(_HERE, "test_dist.py"), os.path.join(_HERE, "test_auto.py")]
+    )

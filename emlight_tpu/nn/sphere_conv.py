@@ -215,7 +215,7 @@ def compute_dtype_of(x: jax.Array):
 
 @contextlib.contextmanager
 def pallas_sphere_convs(enable: bool = True, strides: tuple[int, ...] = (1,),
-                        min_pixels: int = 8192):
+                        min_pixels: int = 2048):
     """Route sphere convs through the fused Pallas kernels (TPU, ~2.4x).
 
     The custom-VJP path (sphere_conv_vjp) covers stride 1 and 2 and is fully
@@ -223,8 +223,12 @@ def pallas_sphere_convs(enable: bool = True, strides: tuple[int, ...] = (1,),
     selects which strides dispatch to it; the default is stride 1 only:
     measured on v5e, the stride-2 layers (discriminator front, small channel
     counts that pad to the 128-lane tile) are faster in the XLA gather
-    formulation. Layers below `min_pixels` (H*W) keep the gather formulation
-    (the kernel's per-row loop overhead loses to XLA at low resolution).
+    formulation (re-measured round 4 after the prefetch kernels: fused G+D
+    352 vs 339 ms with stride 2 fused — still gather). Layers below
+    `min_pixels` (H*W) keep the gather formulation. Round 4 moved the
+    default 8192 -> 2048: with full-width channel blocks + double-buffered
+    prefetch the 32x64 SPADE layers now win in the fused kernels (fused G+D
+    339 -> 313 ms, scripts/exp_dispatch_sweep.py).
     """
     global _PREFER_PALLAS, _PALLAS_STRIDES, _PALLAS_MIN_PIXELS
     prev, prev_s, prev_p = _PREFER_PALLAS, _PALLAS_STRIDES, _PALLAS_MIN_PIXELS

@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sphere_conv import compute_dtype_of, sphere_conv_gather, sphere_taps
 from .sphere_conv_pallas import (
+    _win_dma,
     scalar_weight_tables,
     sphere_conv_pallas,
     structured_tables,
@@ -43,23 +44,17 @@ from .sphere_conv_pallas import (
 
 __all__ = ["sphere_conv_trainable"]
 
-# Per-shape dispatch thresholds, re-measured on v5e (bs8 bf16, 128x256) after
-# the weight tables moved to SMEM scalars (scalar_weight_tables) — that
-# change shifted every crossover, see BASELINE.md round-3 microbench rows.
-# The fused kernels still pad cin to the 128-lane tile, so the SPADE guide
-# branch's cin=3 convs pay full-width staging for 3 real channels; with the
-# wcol window gone the forward kernel now wins there up to ~2 cout tiles
-# (3->128: 9.0 vs 12.2 gather; 3->384: 21.6 vs 20.5 gather keeps the wide
-# fused mlp_shared on gather). dk at cin=3 stays on gather (3->384: 22.2 vs
-# 11.6). dk at wide cout: pallas now wins at 128->256 on 128x256 (15.9 vs
-# 18.5) but gather stays ahead at low resolution (64x128 256->512: 13.0 vs
-# 7.5) — gate wide-cout dk on the pixel count.
-_PALLAS_FWD_MIN_CIN = 32
-_PALLAS_FWD_SMALL_CIN_MAX_COUT = 256
-_PALLAS_DK_MIN_CIN = 32
-_PALLAS_DK_MAX_COUT = 128
-_PALLAS_DK_WIDE_COUT = 256          # allowed when the conv is large enough
-_PALLAS_DK_WIDE_MIN_PIXELS = 32768  # >= 128x256
+# Per-shape dispatch, re-measured on v5e (bs8 bf16) after the full-width
+# channel blocks + double-buffered halo prefetch (round 4, see BASELINE.md):
+# every remaining gather crossover flipped to the fused kernels. fwd at
+# cin=3 (the SPADE guide branch, previously gather at wide cout): pallas
+# 10.2 vs 20.4 gather at 3->384 on 128x256. dk at cin=3: 10.1 vs 11.5; dk at
+# wide cout: 9.5 vs 18.5 at 128->256 (128x256) and 6.0 vs 7.4 at 256->512
+# (64x128) — the cout grid axis that re-ran the roll staging per block is
+# gone, so dk cost no longer scales with cout tiles. Stride-1 fwd/dx/dk now
+# dispatch to the fused kernels unconditionally (stride 2 keeps the
+# measured-faster gather dk; the stride-2 fwd/dx kernels are used via
+# pallas_sphere_convs(strides=(1, 2)) where profitable).
 
 _MAX_FANIN = 64  # padded (i, t, k) triple count per input row (measured <= ~40)
 
@@ -144,50 +139,100 @@ def _dx_kernel_s1(orow_ref, tap_ref, shift_ref, w0_ref, jdev_ref, g_hbm, kt_ref,
     jax.lax.fori_loop(0, br, row_body, 0)
 
 
+def _dx_win_dma(g_hbm, win_ref, sems, b_idx, rb, slot, *, br, ho, win_rows):
+    """Descriptor for the inverse-halo g window of row block rb -> slot."""
+    start = jnp.clip(rb * br - 1, 0, ho - win_rows)
+    return pltpu.make_async_copy(
+        g_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref.at[slot], sems.at[slot]
+    )
+
+
 def _dx_kernel_s1_umajor(orow_ref, tap_ref, shift_ref, w0_ref, jdev_ref, g_hbm,
                          kt_ref, dx_ref, win_ref, u_ref, sems, *, br: int, w: int,
-                         win_rows: int, h: int, fanin: int):
+                         win_rows: int, h: int, fanin: int, prefetch: bool):
     """U-major stride-1 dx: precompute U[t, jw] = g[jw] @ K_tᵀ for the whole
     window (9 large MXU matmuls) so the fan-in loop is pure roll+fma. ~4x on
     high-resolution layers vs the per-triple matmul in _dx_kernel_s1, which
     recomputes u for each of a tap's ≤4 bilinear neighbors; below 128x256 the
     per-triple variant stays faster (scratch traffic dominates small windows).
-    Bit-exact vs _dx_kernel_s1 (same contraction order per contribution)."""
+    Bit-exact vs _dx_kernel_s1 (same contraction order per contribution).
+    Default is one full-width cin block (mirrors the forward: a cin grid axis
+    re-DMA'd the g window per block) with the window double-buffered."""
     rb = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    n_rb = pl.num_programs(1)
     r0 = rb * br
     start = jnp.clip(r0 - 1, 0, h - win_rows)
-    b_idx = pl.program_id(0)
-    dma = pltpu.make_async_copy(g_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref, sems.at[0])
-    dma.start()
-    dma.wait()
+    dma = functools.partial(
+        _dx_win_dma, g_hbm, win_ref, sems, br=br, ho=h, win_rows=win_rows
+    )
+    if prefetch:
+        step = b_idx * n_rb + rb
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _first():
+            dma(b_idx, rb, slot).start()
+
+        dma(b_idx, rb, slot).wait()
+        total = pl.num_programs(0) * n_rb
+
+        @pl.when(step + 1 < total)
+        def _prefetch():
+            nxt = step + 1
+            dma(nxt // n_rb, jax.lax.rem(nxt, n_rb), 1 - slot).start()
+
+    else:
+        slot = 0
+        d = dma(b_idx, rb, slot)
+        d.start()
+        d.wait()
 
     cinb = kt_ref.shape[-1]
     cout = kt_ref.shape[1]
-    gflat = win_ref[:].reshape(win_rows * w, cout)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
 
-    def tap_body(t, _):
-        u = jnp.dot(gflat, kt_ref[t], preferred_element_type=jnp.float32)
-        # tap-major layout: a single dynamic sublane-block index at read time
-        u_ref[pl.ds(t * win_rows, win_rows)] = u.reshape(win_rows, w, cinb)
-        return 0
+    def compute(win):
+        gflat = win[...].reshape(win_rows * w, cout)
 
-    jax.lax.fori_loop(0, 9, tap_body, 0, unroll=True)
+        def tap_body(t, _):
+            u = jnp.dot(gflat, kt_ref[t], preferred_element_type=jnp.float32)
+            # tap-major layout: a single dynamic sublane-block index at read
+            u_ref[pl.ds(t * win_rows, win_rows)] = u.reshape(win_rows, w, cinb)
+            return 0
 
-    def row_body(rr, _):
-        def contrib(m, acc):
-            i_local = orow_ref[0, rr, m] - start
-            t = tap_ref[0, rr, m]
-            s = shift_ref[0, rr, m]
-            wvec = jnp.where(col_ids == jdev_ref[0, rr, m], 0.0, w0_ref[0, rr, m])
-            wu = wvec * u_ref[t * win_rows + i_local]
-            return acc + pltpu.roll(wu, s, 0)
+        jax.lax.fori_loop(0, 9, tap_body, 0, unroll=True)
 
-        acc = jax.lax.fori_loop(0, fanin, contrib, jnp.zeros((w, cinb), jnp.float32))
-        dx_ref[0, rr] = acc
-        return 0
+        def row_body(rr, _):
+            def contrib(m, acc):
+                i_local = orow_ref[0, rr, m] - start
+                t = tap_ref[0, rr, m]
+                s = shift_ref[0, rr, m]
+                wvec = jnp.where(
+                    col_ids == jdev_ref[0, rr, m], 0.0, w0_ref[0, rr, m]
+                )
+                wu = wvec * u_ref[t * win_rows + i_local]
+                return acc + pltpu.roll(wu, s, 0)
 
-    jax.lax.fori_loop(0, br, row_body, 0)
+            acc = jax.lax.fori_loop(
+                0, fanin, contrib, jnp.zeros((w, cinb), jnp.float32)
+            )
+            dx_ref[0, rr] = acc
+            return 0
+
+        jax.lax.fori_loop(0, br, row_body, 0)
+
+    if prefetch:
+        @pl.when(slot == 0)
+        def _even():
+            compute(win_ref.at[0])
+
+        @pl.when(slot == 1)
+        def _odd():
+            compute(win_ref.at[1])
+
+    else:
+        compute(win_ref.at[0])
 
 
 # U-major wins at every measured resolution once the weight window moved to
@@ -237,7 +282,7 @@ def _dx_kernel_s2(orow_ref, tap_ref, shift_ref, w0_ref, jdev_ref, g_hbm, kt_ref,
 
 
 def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
-               block_rows: int = 8, cin_block: int = 128,
+               block_rows: int = 8, cin_block: int | None = None,
                interpret: bool | None = None) -> jax.Array:
     """dx from the cotangent g (B, Ho, Wo, Cout) and kernel (3,3,Cin,Cout)."""
     b, ho, wo, cout = g.shape
@@ -262,7 +307,7 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
     br = min(block_rows, h)
     if h % br:
         raise ValueError(f"h={h} not divisible by block_rows={br}")
-    cb = min(cin_block, cin)
+    cb = min(cin_block, cin) if cin_block else cin
     if cin % cb:
         cb = cin
     win_rows = min(br + 3, ho) if stride == 1 else min(br // 2 + 3, ho)
@@ -295,17 +340,22 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
     # the U-major variant's tap-major scratch peaks ~112MB at 128x256/cb=128
     params = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
     grid = (b, h // br, cin // cb)
+    prefetch = cb == cin
 
     if stride == 1:
         umajor = h * w >= _UMAJOR_MIN_PIXELS
         kern = _dx_kernel_s1_umajor if umajor else _dx_kernel_s1
+        kw = {}
         if umajor:
-            scratch = scratch[:1] + [
-                pltpu.VMEM((9 * win_rows, wo, cb), jnp.float32)
-            ] + scratch[1:]
+            kw["prefetch"] = prefetch
+            scratch = [
+                pltpu.VMEM((2 if prefetch else 1, win_rows, wo, cout), dt),
+                pltpu.VMEM((9 * win_rows, wo, cb), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
         dx = pl.pallas_call(
             functools.partial(
-                kern, br=br, w=wo, win_rows=win_rows, h=ho, fanin=fanin
+                kern, br=br, w=wo, win_rows=win_rows, h=ho, fanin=fanin, **kw
             ),
             grid=grid,
             in_specs=in_specs,
@@ -341,73 +391,109 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
 
 def _dk_kernel(rows_ref, shifts_ref, w0_ref, jdev_ref, x_hbm, g_ref, dk_ref,
                win_ref, s_ref, sems, *, br: int, w: int, win_rows: int,
-               stride: int, h: int):
+               stride: int, h: int, prefetch: bool):
     """dK[t] += s_t(x)ᵀ @ g, one row block per grid step.
 
     The staging of the per-tap sampled block s_t mirrors the forward kernel
     exactly (same halo window, same roll-per-neighbor), so the input is read
     from HBM once — the XLA gather formulation (_dk_gather) re-reads it 36x.
     The dk output block has a constant index_map: it stays resident in VMEM
-    and accumulates across the whole (batch, row-block) grid."""
+    and accumulates across the whole (batch, row-block) grid. Like the
+    forward, the staging does NOT depend on cout, so the default is one
+    full-width cout block (a cout grid axis re-ran all the rolls per block)
+    with the halo window double-buffered across grid steps."""
     rb = pl.program_id(1)
     b_idx = pl.program_id(0)
+    n_rb = pl.num_programs(1)
     src0 = rb * br * stride
     start = jnp.clip(src0 - 2, 0, h - win_rows)
 
-    w_in = win_ref.shape[1]
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b_idx, pl.ds(start, win_rows)], win_ref, sems.at[0]
+    dma = functools.partial(
+        _win_dma, x_hbm, win_ref, sems, br=br, stride=stride, h=h,
+        win_rows=win_rows,
     )
-    dma.start()
+    if prefetch:
+        step = b_idx * n_rb + rb
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _first():
+            dma(b_idx, rb, slot).start()
+    else:
+        slot = 0
+        dma(b_idx, rb, 0).start()
 
     @pl.when(jnp.logical_and(b_idx == 0, rb == 0))
     def _init():
         dk_ref[...] = jnp.zeros_like(dk_ref)
 
-    dma.wait()
+    dma(b_idx, rb, slot).wait()
+    if prefetch:
+        total = pl.num_programs(0) * n_rb
+
+        @pl.when(step + 1 < total)
+        def _prefetch():
+            nxt = step + 1
+            dma(nxt // n_rb, jax.lax.rem(nxt, n_rb), 1 - slot).start()
+
     cin = win_ref.shape[-1]
     cout = g_ref.shape[-1]
+    w_in = win_ref.shape[2]
     gmat = g_ref[0].reshape(br * w, cout)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
 
-    def tap_body(t, _):
-        def row_body(ii, _):
-            s_row = jnp.zeros((w, cin), win_ref.dtype)
+    def compute(win):
+        def tap_body(t, _):
+            def row_body(ii, _):
+                s_row = jnp.zeros((w, cin), win_ref.dtype)
 
-            def nb_body(k, s_row):
-                r_local = rows_ref[0, ii, t, k] - start
-                shift = shifts_ref[0, ii, t, k]
-                row = win_ref[r_local]
-                if row.dtype != jnp.float32:
-                    shifted = pltpu.roll(
-                        row.astype(jnp.float32), w_in - shift, 0
-                    ).astype(row.dtype)
-                else:
-                    shifted = pltpu.roll(row, w_in - shift, 0)
-                if stride > 1:
-                    shifted = shifted.reshape(w, stride, cin)[:, 0, :]
-                wvec = jnp.where(
-                    col_ids == jdev_ref[0, ii, t, k], 0.0, w0_ref[0, ii, t, k]
-                ).astype(win_ref.dtype)
-                return s_row + wvec * shifted
+                def nb_body(k, s_row):
+                    r_local = rows_ref[0, ii, t, k] - start
+                    shift = shifts_ref[0, ii, t, k]
+                    row = win[r_local]
+                    if row.dtype != jnp.float32:
+                        shifted = pltpu.roll(
+                            row.astype(jnp.float32), w_in - shift, 0
+                        ).astype(row.dtype)
+                    else:
+                        shifted = pltpu.roll(row, w_in - shift, 0)
+                    if stride > 1:
+                        shifted = shifted.reshape(w, stride, cin)[:, 0, :]
+                    wvec = jnp.where(
+                        col_ids == jdev_ref[0, ii, t, k], 0.0,
+                        w0_ref[0, ii, t, k],
+                    ).astype(win_ref.dtype)
+                    return s_row + wvec * shifted
 
-            s_ref[ii] = jax.lax.fori_loop(0, 4, nb_body, s_row)
+                s_ref[ii] = jax.lax.fori_loop(0, 4, nb_body, s_row)
+                return 0
+
+            jax.lax.fori_loop(0, br, row_body, 0)
+            smat = s_ref[:].reshape(br * w, cin)
+            dk_ref[t] += jax.lax.dot_general(
+                smat, gmat.astype(smat.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             return 0
 
-        jax.lax.fori_loop(0, br, row_body, 0)
-        smat = s_ref[:].reshape(br * w, cin)
-        dk_ref[t] += jax.lax.dot_general(
-            smat, gmat.astype(smat.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return 0
+        jax.lax.fori_loop(0, 9, tap_body, 0)
 
-    jax.lax.fori_loop(0, 9, tap_body, 0)
+    if prefetch:
+        @pl.when(slot == 0)
+        def _even():
+            compute(win_ref.at[0])
+
+        @pl.when(slot == 1)
+        def _odd():
+            compute(win_ref.at[1])
+
+    else:
+        compute(win_ref.at[0])
 
 
 def _dk_pallas(x: jax.Array, g: jax.Array, stride: int = 1,
-               block_rows: int = 8, cout_block: int = 128,
+               block_rows: int = 8, cout_block: int | None = None,
                interpret: bool | None = None) -> jax.Array:
     """dK (3, 3, Cin, Cout) from x (B, H, W, Cin) and cotangent g (B, Ho, Wo, Cout)."""
     b, h, w, cin0 = x.shape
@@ -431,16 +517,18 @@ def _dk_pallas(x: jax.Array, g: jax.Array, stride: int = 1,
     br = min(block_rows, ho)
     if ho % br:
         raise ValueError(f"ho={ho} not divisible by block_rows={br}")
-    cb = min(cout_block, cout)
+    cb = min(cout_block, cout) if cout_block else cout
     if cout % cb:
         cb = cout
     win_rows = min(br * stride + 4, h)
+    prefetch = cb == cout
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     dk = pl.pallas_call(
         functools.partial(
-            _dk_kernel, br=br, w=wo, win_rows=win_rows, stride=stride, h=h
+            _dk_kernel, br=br, w=wo, win_rows=win_rows, stride=stride, h=h,
+            prefetch=prefetch,
         ),
         grid=(b, ho // br, cout // cb),
         in_specs=[
@@ -460,9 +548,9 @@ def _dk_pallas(x: jax.Array, g: jax.Array, stride: int = 1,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_rows, w, cin), dt),
+            pltpu.VMEM((2 if prefetch else 1, win_rows, w, cin), dt),
             pltpu.VMEM((br, wo, cin), dt),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -499,9 +587,6 @@ def _dk_gather(x: jax.Array, g: jax.Array, cout: int, stride: int = 1) -> jax.Ar
 
 
 def _fwd_impl(x, kernel, bias, stride):
-    if (x.shape[-1] < _PALLAS_FWD_MIN_CIN
-            and kernel.shape[-1] > _PALLAS_FWD_SMALL_CIN_MAX_COUT):
-        return sphere_conv_gather(x, kernel, bias, stride)
     return sphere_conv_pallas(x, kernel, bias, stride)
 
 
@@ -528,15 +613,7 @@ def _bwd(stride, res, g):
     dx = _dx_pallas(g, kernel, x.shape, stride)
     # stride 2 measures 0.4-0.9x in the fused dk (the halo window doubles and
     # the cin=3 discriminator front pads to 128 lanes): always gather there.
-    use_pallas_dk = (
-        stride == 1
-        and x.shape[-1] >= _PALLAS_DK_MIN_CIN
-        and (
-            g.shape[-1] <= _PALLAS_DK_MAX_COUT
-            or (g.shape[-1] <= _PALLAS_DK_WIDE_COUT
-                and x.shape[1] * x.shape[2] >= _PALLAS_DK_WIDE_MIN_PIXELS)
-        )
-    )
+    use_pallas_dk = stride == 1
     dk = _dk_pallas(x, g, stride) if use_pallas_dk else _dk_gather(x, g, g.shape[-1], stride)
     db = g.sum(axis=(0, 1, 2)) if has_bias else None
     return dx, dk, db

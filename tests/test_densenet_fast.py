@@ -16,12 +16,19 @@ def _setup(dtype, block_config=(4, 4, 4), n_anchors=24, hw=(48, 64), group=4):
     x = jnp.asarray(
         np.random.default_rng(0).random((2, *hw, 3), dtype=np.float32)
     )
-    v = model.init(jax.random.PRNGKey(0), x, train=True)
-    ref = model.apply(v, x, train=False)
-    fast = fast_apply(
-        v["params"], v["batch_stats"], x,
-        block_config=block_config, dtype=dtype, group=group,
-    )
+    # pure numerics parity — compile at XLA opt level 0 (conftest.jit0):
+    # default-pipeline compiles of two full DenseNet graphs per
+    # parametrization dominated the suite (132 s for the flagship topology
+    # alone on the 1-vCPU VM; opt0 is ~20x faster, same outputs)
+    from conftest import jit0
+
+    v = jit0(lambda xx: model.init(jax.random.PRNGKey(0), xx, train=True))(x)
+    ref = jit0(lambda vv, xx: model.apply(vv, xx, train=False))(v, x)
+    fast = jit0(
+        lambda p, s, xx: fast_apply(
+            p, s, xx, block_config=block_config, dtype=dtype, group=group
+        )
+    )(v["params"], v["batch_stats"], x)
     return ref, fast
 
 
@@ -45,14 +52,17 @@ def test_fast_apply_matches_bf16():
 
 
 def test_buffer_apply_matches_f32():
+    from conftest import jit0
+
     model = DenseNet(block_config=(4, 4, 4), n_anchors=24, dtype=jnp.float32)
     x = jnp.asarray(np.random.default_rng(0).random((2, 48, 64, 3), dtype=np.float32))
-    v = model.init(jax.random.PRNGKey(0), x, train=True)
-    ref = model.apply(v, x, train=False)
-    fast = buffer_apply(
-        v["params"], v["batch_stats"], x,
-        block_config=(4, 4, 4), dtype=jnp.float32,
-    )
+    v = jit0(lambda xx: model.init(jax.random.PRNGKey(0), xx, train=True))(x)
+    ref = jit0(lambda vv, xx: model.apply(vv, xx, train=False))(v, x)
+    fast = jit0(
+        lambda p, s, xx: buffer_apply(
+            p, s, xx, block_config=(4, 4, 4), dtype=jnp.float32
+        )
+    )(v["params"], v["batch_stats"], x)
     for k in ref:
         np.testing.assert_allclose(fast[k], ref[k], rtol=1e-4, atol=1e-4)
 

@@ -64,6 +64,12 @@ class RegressionConfig:
     # reference's check_grad/check_module probes, panorama.py:41-64, as a
     # first-class metric instead of tensor hooks)
     log_grad_norms: bool = False
+    # training forward: "buffer" = concat-free NCHW buffer forward with the
+    # structured block VJP (nn/densenet_fast.train_apply; measured 171 vs
+    # 211 ms fwd+bwd at bs16 bf16 on a v5e, gradients match the standard
+    # apply to ~1e-13 in f64) — "standard" = the reference-shaped flax
+    # forward (needed for drop_rate>0, none shipped by the reference)
+    train_forward: str = "buffer"
 
 
 @dataclass(frozen=True)

@@ -23,7 +23,7 @@ from ..losses.sinkhorn import SamplesLoss
 from ..nn.densenet import DenseNet
 
 __all__ = ["RegressionState", "create_state", "train_step", "eval_step", "loss_fn",
-           "run_init", "make_eval_apply"]
+           "run_init", "make_eval_apply", "make_train_apply"]
 
 
 def run_init(init_fn, *args):
@@ -91,13 +91,17 @@ def create_state(rng: jax.Array, cfg: RegressionConfig, axis_name: str | None = 
     tx = _maybe_clipped(
         optax.adam(cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1]), cfg.clip_grad_norm
     )
+    if getattr(cfg, "train_forward", "buffer") == "buffer":
+        apply_fn = make_train_apply(cfg, axis_name)
+    else:
+        apply_fn = model.apply
     return RegressionState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
         tx=tx,
-        apply_fn=model.apply,
+        apply_fn=apply_fn,
     )
 
 
@@ -184,6 +188,46 @@ def eval_step(state: RegressionState, batch, cfg: RegressionConfig):
 def predict(apply_fn, params, batch_stats, crop):
     """Inference: crop -> anchor parameter dict (RegressionNetwork/test.py path)."""
     return apply_fn({"params": params, "batch_stats": batch_stats}, crop, train=False)
+
+
+def make_train_apply(cfg: RegressionConfig, axis_name: str | None = None):
+    """The DEFAULT training forward: concat-free NCHW buffer forward with the
+    structured block VJP (nn/densenet_fast.train_apply) as a drop-in apply_fn.
+
+    Measured on a v5e chip (bs 16 bf16, 2026-08-20): fwd+bwd 171 ms vs 211 ms
+    for the standard DenseNet.apply graph — the standard training forward
+    rewrites the growing channel-concat every dense layer exactly like the
+    eval forward `make_eval_apply` replaced. Gradients and new batch stats
+    match the standard apply to ~1e-13 in f64 (tests/test_densenet_fast.py);
+    f32/bf16 differences are float reassociation noise of the same size the
+    standard graph carries against a f64 gold run.
+
+    Consumes/produces the standard variables tree — resume and torch-imported
+    checkpoints work unchanged. train=False dispatches to the eval buffer
+    forward. Under a device mesh pass `axis_name` for pmean'd (SyncBN) batch
+    moments, matching flax's BatchNorm(axis_name=...) semantics.
+    """
+    from ..nn.densenet_fast import buffer_apply as _buffer_apply
+    from ..nn.densenet_fast import train_apply as _train_apply
+
+    dt = jnp.dtype(cfg.dtype)
+
+    def apply_fn(variables, crop, train: bool = False, mutable=None):
+        if not train:
+            return _buffer_apply(
+                variables["params"], variables["batch_stats"], crop,
+                block_config=cfg.block_config, growth_rate=cfg.growth_rate,
+                num_init_features=cfg.num_init_features, dtype=dt,
+            )
+        heads, new_stats = _train_apply(
+            variables["params"], variables["batch_stats"], crop,
+            block_config=cfg.block_config, growth_rate=cfg.growth_rate,
+            num_init_features=cfg.num_init_features, dtype=dt,
+            axis_name=axis_name,
+        )
+        return heads, {"batch_stats": new_stats}
+
+    return apply_fn
 
 
 def make_eval_apply(cfg: RegressionConfig):

@@ -72,9 +72,13 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
     )
     state = R.create_state(jax.random.PRNGKey(0), cfg)
     eval_apply = R.make_eval_apply(cfg)  # default concat-free buffer forward
+    P, S = state.params, state.batch_stats
 
-    @jax.jit
-    def fn(params, batch_stats, crop):
+    # Weights as jaxpr CONSTANTS (train/regression.py::make_baked_infer, the
+    # deployment/serving configuration): XLA folds BN affines + pre-lays-out
+    # kernels. 585 vs 390 img/s measured against weights-as-arguments on a
+    # v5e (1.5x) — the args variant is reported alongside.
+    def fn_of(params, batch_stats, crop):
         pred = eval_apply({"params": params, "batch_stats": batch_stats}, crop, train=False)
         dist = jax.nn.softmax(pred["distribution"], axis=-1)
         env = render_anchor_params(
@@ -86,6 +90,9 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
         # does not actually block on the axon plugin)
         return env, jnp.sum(env)
 
+    def fn(params, batch_stats, crop):
+        return fn_of(params, batch_stats, crop)
+
     def sync(out):
         return float(out[1])
 
@@ -94,10 +101,10 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
         # the measured loop runs ON DEVICE: n forwards chained through a
         # checksum accumulator (prevents elision), one dispatch, one fetch.
         @jax.jit
-        def run_n(params, batch_stats, crop):
+        def run_n(crop):
             def body(acc, _):
                 # fold the accumulator into the input so iterations can't be CSE'd
-                _, s = fn(params, batch_stats, crop + acc * 1e-30)
+                _, s = fn_of(P, S, crop + acc * 1e-30)
                 return acc + s, None
             total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
             return total
@@ -107,11 +114,31 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
     crop = jnp.asarray(rng.random((batch_size, cfg.crop_h, cfg.crop_w, 3), dtype=np.float32))
     run = make_loop(iters)
     for _ in range(warmup):
-        float(run(state.params, state.batch_stats, crop))
+        float(run(crop))
     t0 = time.perf_counter()
-    float(run(state.params, state.batch_stats, crop))
+    float(run(crop))
     dt = time.perf_counter() - t0
     throughput = batch_size * iters / dt
+
+    # weights-as-arguments variant (generic-checkpoint path): same graph, the
+    # weights arrive as runtime buffers
+    @jax.jit
+    def run_args(params, batch_stats, crop):
+        def body(acc, _):
+            _, s = fn_of(params, batch_stats, crop + acc * 1e-30)
+            return acc + s, None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return total
+
+    args_throughput = None
+    try:
+        for _ in range(2):
+            float(run_args(P, S, crop))
+        t0 = time.perf_counter()
+        float(run_args(P, S, crop))
+        args_throughput = batch_size * iters / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# args-mode flagship failed: {e!r}", file=sys.stderr)
 
     # reference-shaped DenseNet.apply (cli --eval_apply standard); reported
     # alongside the default concat-free path so regressions in either surface.
@@ -119,9 +146,10 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
     # only in scripts/ (BASELINE.md rounds 3-4).
     std_throughput = None
     try:
-        @jax.jit
+        std_apply = R.make_model(cfg).apply  # the reference-shaped flax graph
+
         def fn_std(params, batch_stats, crop):
-            pred = state.apply_fn({"params": params, "batch_stats": batch_stats}, crop, train=False)
+            pred = std_apply({"params": params, "batch_stats": batch_stats}, crop, train=False)
             dist = jax.nn.softmax(pred["distribution"], axis=-1)
             env = render_anchor_params(
                 dist, pred["intensity"][:, 0], pred["rgb_ratio"], pred["ambient"],
@@ -147,18 +175,18 @@ def bench_tpu(batch_size: int = 128, iters: int = 30, warmup: int = 3):
 
     # MFU: FLOPs of one forward (cost analysis of the single-step jit) over
     # measured step time, against the chip's bf16 MXU peak
-    step_flops = _compiled_flops(fn, state.params, state.batch_stats, crop)
+    step_flops = _compiled_flops(jax.jit(fn), state.params, state.batch_stats, crop)
     peak, _kind = _peak_flops()
     mfu = (step_flops * iters / dt) / peak * 100 if step_flops else None
 
     # per-image latency, batch 1, on-device (tunnel RTT excluded)
     crop1 = crop[:1]
     run1 = make_loop(50)
-    float(run1(state.params, state.batch_stats, crop1))
+    float(run1(crop1))
     t0 = time.perf_counter()
-    float(run1(state.params, state.batch_stats, crop1))
+    float(run1(crop1))
     p50_ms = (time.perf_counter() - t0) / 50 * 1000
-    return throughput, p50_ms, mfu, std_throughput
+    return throughput, p50_ms, mfu, std_throughput, args_throughput
 
 
 def bench_torch_reference(batch_size: int = 4, iters: int = 5):
@@ -531,7 +559,7 @@ def bench_sinkhorn(batch: int = 16, n: int = 96, reps: int = 200):
 
 
 def main():
-    throughput, p50_ms, mfu, std_throughput = bench_tpu()
+    throughput, p50_ms, mfu, std_throughput, args_throughput = bench_tpu()
     try:
         ref = bench_torch_reference()
     except Exception:
@@ -605,6 +633,7 @@ def main():
         "vs_baseline": round(throughput / ref, 2) if ref else None,
         "p50_latency_ms_bs1": round(p50_ms, 2),
         "mfu_pct": round(mfu, 2) if mfu else None,
+        "weights_as_args_images_per_sec": round(args_throughput, 2) if args_throughput else None,
         "standard_apply_images_per_sec": round(std_throughput, 2) if std_throughput else None,
         "baseline_note": "baseline = reference-equivalent torch pipeline on host CPU (no GPU/published numbers exist)",
         "baseline_images_per_sec": round(ref, 3) if ref else None,

@@ -148,6 +148,23 @@ def test_train_and_test_projector_cli(laval_root, tmp_path):
         p.name for p in res.glob("*.exr")
     )
 
+    # projector-stage quality eval (the reference's test.py computes nothing):
+    # one JSON line of generated-env RMSE / si-RMSE / angular errors
+    from emlight_tpu.cli.eval_projector import main as evalp_main
+
+    ev = tmp_path / "proj_metrics.json"
+    evalp_main([
+        "--ckpt", str(ckpt), "--data_root", str(laval_root),
+        "--load_config", str(out), "--batch", "2", "--out", str(ev),
+    ])
+    m = json.loads(ev.read_text())
+    assert m["n_samples"] == 4
+    for k in ("env_rmse", "env_sirmse", "angular_err_mean_dir_deg",
+              "angular_err_peak_vs_gt_anchor_deg"):
+        assert np.isfinite(m[k]["mean"]), (k, m[k])
+    assert m["angular_err_mean_dir_deg"]["mean"] <= 180.0
+    assert m["env_sirmse"]["mean"] <= m["env_rmse"]["mean"] + 1e-6
+
 
 def test_train_projector_cli_parallel(tmp_path):
     """--parallel on the virtual 8-device mesh (synthetic data)."""

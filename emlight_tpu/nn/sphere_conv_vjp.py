@@ -311,6 +311,20 @@ def _dx_pallas(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1,
     if cin % cb:
         cb = cin
     win_rows = min(br + 3, ho) if stride == 1 else min(br // 2 + 3, ho)
+    # The U-major scratch (9*win_rows, wo, cb) f32 scales linearly with the
+    # cin block; a wide-cin layer at high resolution can exceed the VMEM
+    # budget with cb == cin (ADVICE r4). Estimate the footprint and halve cb
+    # until it fits (cb < cin turns off the revolving-window prefetch, which
+    # the blocked path never used).
+    _VMEM_BUDGET = int(120 * 1024 * 1024 * 0.8)
+
+    def _umajor_bytes(cb_):
+        u = 9 * win_rows * wo * cb_ * 4
+        gwin = (2 if cb_ == cin else 1) * win_rows * wo * cout * jnp.dtype(dt).itemsize
+        return u + gwin
+
+    while cb > 128 and _umajor_bytes(cb) > _VMEM_BUDGET and cin % (cb // 2) == 0:
+        cb //= 2
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

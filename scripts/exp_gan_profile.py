@@ -77,15 +77,19 @@ def main():
         print(f"{name:<46} {ms:8.1f} ms/step", flush=True)
         return ms
 
-    # --- eval-mode synthesis (no stats mutation, no grads)
-    def synth_body(acc, b):
+    # --- eval-mode synthesis (no stats mutation, no grads). The state rides
+    # the scan CARRY: closing over it embeds ~100 MB of weights as HLO
+    # constants, which the tunnel's remote-compile service rejects (HTTP 413
+    # length limit). The acc perturbation defeats loop-invariant hoisting.
+    def synth_body(carry, b):
+        st, acc = carry
         guide = make_guide(b, cfg)
-        variables = {"params": state.g_params, **state.g_stats}
-        fake = state.g_apply(variables, guide + acc * 1e-30, b["crop"], train=False)
-        return acc + jnp.sum(fake), jnp.sum(fake)
+        variables = {"params": st.g_params, **st.g_stats}
+        fake = st.g_apply(variables, guide + acc * 1e-30, b["crop"], train=False)
+        return (st, acc + jnp.sum(fake)), jnp.sum(fake)
 
-    measure("G fwd eval (synthesis)", synth_body, jnp.float32(0.0),
-            fetch=lambda o: o[0])
+    measure("G fwd eval (synthesis)", synth_body, (state, jnp.float32(0.0)),
+            fetch=lambda o: o[0][1])
 
     # --- train-mode G forward only (mutates stats, no grads)
     def g_fwd_body(st, b):

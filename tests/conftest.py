@@ -156,9 +156,15 @@ def jit0(fn):
     cache = {}
 
     def call(*args):
-        key = tuple(
-            (tuple(a.shape), str(a.dtype)) if hasattr(a, "shape") else a
-            for a in jax.tree.leaves(args)
+        # pytree STRUCTURE is part of the key: two calls with different arg
+        # structures but identical leaf shapes/dtypes must not collide on one
+        # compiled executable (ADVICE r4)
+        key = (
+            str(jax.tree.structure(args)),
+            tuple(
+                (tuple(a.shape), str(a.dtype)) if hasattr(a, "shape") else a
+                for a in jax.tree.leaves(args)
+            ),
         )
         if key not in cache:
             cache[key] = (

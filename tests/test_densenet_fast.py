@@ -74,6 +74,26 @@ def test_fast_apply_flagship_shape():
         np.testing.assert_allclose(fast[k], ref[k], rtol=3e-4, atol=3e-4)
 
 
+def test_default_opt_level_canary():
+    """One cheap parity case compiled at the DEFAULT XLA pipeline.
+
+    The suite compiles numerics tests at opt level 0 (conftest.jit0) for
+    wall-time; this canary keeps one small case on the production pipeline so
+    an optimization-dependent numeric divergence cannot escape the suite
+    entirely (ADVICE r4).
+    """
+    model = DenseNet(block_config=(2,), n_anchors=8, num_init_features=8,
+                     growth_rate=6, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(5).random((2, 16, 16, 3), dtype=np.float32))
+    v = jax.jit(lambda xx: model.init(jax.random.PRNGKey(0), xx, train=True))(x)
+    ref = jax.jit(lambda vv, xx: model.apply(vv, xx, train=False))(v, x)  # default opts
+    fast = jax.jit(lambda p, s, xx: buffer_apply(
+        p, s, xx, block_config=(2,), num_init_features=8, growth_rate=6,
+        dtype=jnp.float32))(v["params"], v["batch_stats"], x)
+    for k in ref:
+        np.testing.assert_allclose(fast[k], ref[k], rtol=2e-4, atol=2e-4)
+
+
 def _x64():
     from jax._src.config import enable_x64  # no public context manager yet
 

@@ -91,6 +91,11 @@ class ProjectorConfig:
     gan_mode: str = "hinge"
     lambda_vgg: float = 5.0       # pix2pix_model.py:120
     lambda_cos: float = 5.0       # pix2pix_model.py:122
+    # upstream SPADE's --use_vae surface (dead code in the EMLight fork —
+    # its encoder.py comments fc_var out — kept for completeness): VAE
+    # encoder heads + reparameterized latent + KLD x lambda_kld in the G loss
+    use_vae: bool = False
+    lambda_kld: float = 0.05      # SPADE train_options.py default
     ambient_feat_weight: float = 50.0  # non-light pixels x50 (pix2pix_model.py:112-113)
     num_upsampling_layers: str = "normal"
     norm_g: str = "spectralspadesyncbatch3x3"

@@ -177,9 +177,17 @@ class SPADEResnetBlock(nn.Module):
 
 
 class ConvEncoder(nn.Module):
-    """Crop image -> latent z (generator.py:90-126); norm_E='spectralinstance'."""
+    """Crop image -> latent z (generator.py:90-126); norm_E='spectralinstance'.
+
+    vae=False (the EMLight fork's behavior: its encoder.py comments fc_var
+    out and returns a deterministic z) -> one `fc` head. vae=True restores
+    upstream SPADE's --use_vae surface (SPADE encoder.py fc_mu/fc_var):
+    returns (mu, logvar) at the same latent width so the generator's
+    z.view(16nf, 1, 2) path is unchanged; losses/gan.kld_loss consumes them.
+    """
 
     ndf: int = 64
+    vae: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -192,7 +200,11 @@ class ConvEncoder(nn.Module):
             x = instance_norm(x)
         x = _lrelu(x)
         x = x.reshape(x.shape[0], -1)
-        return nn.Dense(16 * self.ndf * 2 * 1, name="fc")(x)
+        zdim = 16 * self.ndf * 2 * 1
+        if self.vae:
+            return (nn.Dense(zdim, name="fc_mu")(x),
+                    nn.Dense(zdim, name="fc_var")(x))
+        return nn.Dense(zdim, name="fc")(x)
 
 
 class SPADEGenerator(nn.Module):
@@ -209,6 +221,10 @@ class SPADEGenerator(nn.Module):
     crop_size: int = 256
     aspect_ratio: float = 2.0
     axis_name: str | None = None
+    # upstream SPADE's --use_vae (dead code in the EMLight fork, kept for
+    # completeness): reparameterized latent + (mu, logvar) sown for the KLD
+    # loss. Training samples eps via the 'vae' rng collection; eval uses mu.
+    use_vae: bool = False
 
     @nn.compact
     def __call__(self, guide, crop, train: bool = False):
@@ -217,7 +233,17 @@ class SPADEGenerator(nn.Module):
         sw = self.crop_size // (2 ** num_up)
         sh = round(sw / self.aspect_ratio)
 
-        z = ConvEncoder(ndf=nf, name="netE")(crop, train)
+        if self.use_vae:
+            mu, logvar = ConvEncoder(ndf=nf, vae=True, name="netE")(crop, train)
+            self.sow("vae_stats", "mu", mu)
+            self.sow("vae_stats", "logvar", logvar)
+            if train:
+                eps = jax.random.normal(self.make_rng("vae"), mu.shape, mu.dtype)
+                z = mu + eps * jnp.exp(0.5 * logvar)  # SPADE reparameterize
+            else:
+                z = mu
+        else:
+            z = ConvEncoder(ndf=nf, name="netE")(crop, train)
         # torch does z.view(-1, 16nf, 1, 2) in NCHW (generator.py:69); match
         # that element order, then go NHWC
         x = jnp.transpose(z.reshape(-1, 16 * nf, 1, 2), (0, 2, 3, 1))

@@ -61,6 +61,7 @@ def make_models(cfg: ProjectorConfig, axis_name: str | None = None):
         crop_size=cfg.crop_size,
         aspect_ratio=2.0,
         axis_name=axis_name,
+        use_vae=getattr(cfg, "use_vae", False),
     )
     d = MultiscaleDiscriminator(ndf=cfg.ndf, num_d=cfg.num_d, n_layers=cfg.n_layers_d)
     return g, d
@@ -99,7 +100,14 @@ def create_state(rng: jax.Array, cfg: ProjectorConfig, axis_name: str | None = N
     kg, kd = jax.random.split(rng)
     from .regression import run_init
 
-    gv = run_init(functools.partial(g.init, train=True), kg, guide, crop)
+    if getattr(cfg, "use_vae", False):
+        kg1, kg2 = jax.random.split(kg)
+        gv = run_init(
+            functools.partial(g.init, train=True),
+            {"params": kg1, "vae": kg2}, guide, crop,
+        )
+    else:
+        gv = run_init(functools.partial(g.init, train=True), kg, guide, crop)
     dv = run_init(
         functools.partial(d.init, train=True),
         kd, jnp.zeros((2, env_h, env_w, cfg.semantic_nc + cfg.output_nc)),
@@ -157,11 +165,22 @@ def make_guide(batch, cfg: ProjectorConfig):
     return env * batch["alpha"][:, None, None, None]
 
 
-def _run_g(state, g_params, guide, crop, train):
+def _run_g(state, g_params, guide, crop, train, vae_rng=None, want_vae=False):
+    """Generator forward. vae_rng: PRNG key for the --use_vae reparameterized
+    latent (required for train=True on a use_vae model). want_vae=True also
+    returns the sown (mu, logvar) for the KLD loss — the 'vae_stats'
+    collection is kept OUT of g_stats so the checkpoint tree is identical
+    with or without the flag."""
     variables = {"params": g_params, **state.g_stats}
+    mutable = ["batch_stats", "spectral"] + (["vae_stats"] if want_vae else [])
+    kwargs = {"rngs": {"vae": vae_rng}} if vae_rng is not None else {}
     out, mut = state.g_apply(
-        variables, guide, crop, train=train, mutable=["batch_stats", "spectral"]
+        variables, guide, crop, train=train, mutable=mutable, **kwargs
     )
+    if want_vae:
+        vs = mut["vae_stats"]
+        g_mut = {k: v for k, v in mut.items() if k != "vae_stats"}
+        return out, g_mut, (vs["mu"][0], vs["logvar"][0])
     return out, mut
 
 
@@ -192,8 +211,18 @@ def _generator_step_body(state, batch, cfg, vgg_apply, vgg_variables):
     crop, real = batch["crop"], batch["warped"]
     light_map = batch["map"][..., None]
 
+    use_vae = getattr(cfg, "use_vae", False)
+    vae_rng = (
+        jax.random.fold_in(jax.random.PRNGKey(0xEA), state.step) if use_vae else None
+    )
+
     def loss_fn(g_params):
-        fake, g_mut = _run_g(state, g_params, guide, crop, True)
+        if use_vae:
+            fake, g_mut, (mu, logvar) = _run_g(
+                state, g_params, guide, crop, True, vae_rng, want_vae=True
+            )
+        else:
+            fake, g_mut = _run_g(state, g_params, guide, crop, True)
         pred_fake, pred_real, d_mut = _run_d(state, state.d_params, guide, fake, real, True)
         losses = {
             "GAN": gan_loss(pred_fake, True, for_discriminator=False, mode=cfg.gan_mode),
@@ -206,6 +235,10 @@ def _generator_step_body(state, batch, cfg, vgg_apply, vgg_variables):
             losses["VGG"] = cfg.lambda_vgg * vgg_perceptual_loss(
                 vgg_apply, vgg_variables, fake, real
             )
+        if use_vae:
+            from ..losses.gan import kld_loss
+
+            losses["KLD"] = kld_loss(mu, logvar) * getattr(cfg, "lambda_kld", 0.05)
         total = sum(losses.values())
         return total, (losses, g_mut, d_mut, fake)
 
@@ -234,8 +267,13 @@ def _discriminator_step_body(state, batch, cfg):
     guide = make_guide(batch, cfg)
     crop, real = batch["crop"], batch["warped"]
     # generate_fake runs in train mode (updates G stats) but detached
-    # (pix2pix_model.py:129-134)
-    fake, g_mut = _run_g(state, state.g_params, guide, crop, True)
+    # (pix2pix_model.py:129-134). A use_vae generator re-samples its latent
+    # here, exactly like upstream SPADE's D pass.
+    d_vae_rng = (
+        jax.random.fold_in(jax.random.PRNGKey(0xDA), state.step)
+        if getattr(cfg, "use_vae", False) else None
+    )
+    fake, g_mut = _run_g(state, state.g_params, guide, crop, True, d_vae_rng)
     fake = jax.lax.stop_gradient(fake)
 
     def loss_fn(d_params):
@@ -286,8 +324,18 @@ def _fused_gan_step_body(state, batch, cfg, vgg_apply, vgg_variables):
     crop, real = batch["crop"], batch["warped"]
     light_map = batch["map"][..., None]
 
+    use_vae = getattr(cfg, "use_vae", False)
+    vae_rng = (
+        jax.random.fold_in(jax.random.PRNGKey(0xEA), state.step) if use_vae else None
+    )
+
     def g_loss_fn(g_params):
-        fake, g_mut = _run_g(state, g_params, guide, crop, True)
+        if use_vae:
+            fake, g_mut, (mu, logvar) = _run_g(
+                state, g_params, guide, crop, True, vae_rng, want_vae=True
+            )
+        else:
+            fake, g_mut = _run_g(state, g_params, guide, crop, True)
         pred_fake, pred_real, _ = _run_d(state, state.d_params, guide, fake, real, True)
         losses = {
             "GAN": gan_loss(pred_fake, True, for_discriminator=False, mode=cfg.gan_mode),
@@ -300,6 +348,10 @@ def _fused_gan_step_body(state, batch, cfg, vgg_apply, vgg_variables):
             losses["VGG"] = cfg.lambda_vgg * vgg_perceptual_loss(
                 vgg_apply, vgg_variables, fake, real
             )
+        if use_vae:
+            from ..losses.gan import kld_loss
+
+            losses["KLD"] = kld_loss(mu, logvar) * getattr(cfg, "lambda_kld", 0.05)
         return sum(losses.values()), (losses, g_mut, fake)
 
     (g_total, (g_losses, g_mut, fake)), g_grads = jax.value_and_grad(

@@ -182,3 +182,38 @@ def test_scanned_fused_steps_match_iterated(state0):
     np.testing.assert_allclose(
         np.asarray(fake_scan), np.asarray(fake_ref), rtol=0, atol=0.5
     )
+
+
+def test_use_vae_surface(state0):
+    """Upstream SPADE's --use_vae: VAE encoder heads + KLD in the G loss.
+
+    Dead code in the EMLight fork (its encoder.py comments fc_var out), kept
+    for completeness: both alternating steps run, KLD is finite and scales
+    with lambda_kld, eval inference is deterministic (z = mu), and the flag
+    OFF leaves the parameter tree untouched (checkpoint compatibility).
+    """
+    vcfg = dataclasses.replace(TINY, use_vae=True)
+    vstate = P.create_state(jax.random.PRNGKey(0), vcfg)
+    enc = vstate.g_params["netE"]
+    assert "fc_mu" in enc and "fc_var" in enc and "fc" not in enc
+    # default tree has the deterministic head only
+    assert "fc" in state0.g_params["netE"] and "fc_mu" not in state0.g_params["netE"]
+
+    b = _batch()
+    st2, gm, _ = P.generator_step(vstate, b, vcfg)
+    assert np.isfinite(gm["loss_G"]) and np.isfinite(gm["KLD"])
+    st3, dm = P.discriminator_step(st2, b, vcfg)
+    assert np.isfinite(dm["loss_D"])
+    # fused step carries the KLD too
+    _, fm, _ = P.fused_gan_step(vstate, b, vcfg)
+    assert np.isfinite(fm["KLD"])
+
+    # lambda scaling is exact
+    v2 = dataclasses.replace(vcfg, lambda_kld=0.1)
+    _, gm2, _ = P.generator_step(vstate, b, v2)
+    np.testing.assert_allclose(gm2["KLD"], 2.0 * gm["KLD"], rtol=1e-5)
+
+    # eval path is deterministic (z = mu, no rng needed)
+    out1 = P.inference(vstate, b, vcfg)
+    out2 = P.inference(vstate, b, vcfg)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

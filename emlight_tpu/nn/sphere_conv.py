@@ -263,13 +263,13 @@ def sphere_conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
         * 9 * x.shape[3] * (kernel.shape[-1] + 4)
     )
     # the fused kernel wins where the gather traffic dominates (high
-    # resolution); at low spatial dims its loop overhead loses to XLA
-    if (
-        _PREFER_PALLAS
-        and jax.default_backend() == "tpu"
-        and x.shape[1] * x.shape[2] >= _PALLAS_MIN_PIXELS
-        and stride in _PALLAS_STRIDES
-    ):
+    # resolution); at low spatial dims its loop overhead loses to XLA.
+    # EVERY stride above the pixel gate routes through the custom VJP:
+    # its forward dispatches per stride (gather for stride 2 unless
+    # strides=(1, 2) opts into the fused forward) while its backward always
+    # runs the Pallas dx — autodiff of the raw gather transposes into
+    # scatter-add `while` loops (62.7 ms of the round-5 G step)
+    if _PREFER_PALLAS and jax.default_backend() == "tpu":
         from .sphere_conv_vjp import sphere_conv_trainable
 
         return apply_output_hook(sphere_conv_trainable(x, kernel, bias, stride))

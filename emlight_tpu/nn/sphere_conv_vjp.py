@@ -60,6 +60,55 @@ _MAX_FANIN = 64  # padded (i, t, k) triple count per input row (measured <= ~40)
 
 
 @functools.lru_cache(maxsize=None)
+def _inverse_flat_tables(h: int, w: int, stride: int = 1):
+    """Per-INPUT-PIXEL inverse of the forward gather tables.
+
+    For input pixel p: dx[p] = sum_m wv[p, m] * (g @ K_{tap}ᵀ)[src[p, m]]
+    with src a flat index into the tap-major (9*P_out) axis. A pure-gather
+    dx formulation: autodiff of the forward gather transposes into
+    scatter-adds, which lower to `while` loops on TPU (the round-5 G-step
+    trace measured 62.7 ms of them); this table gathers instead.
+
+    Returns (src (P_in, F) int32 into 9*P_out, wv (P_in, F) f32, fanin F).
+    """
+    from .sphere_conv import sphere_taps
+
+    idx, wgt, (ho, wo) = sphere_taps(h, w, stride)
+    p_out = ho * wo
+    entries: list[list[tuple[int, float]]] = [[] for _ in range(h * w)]
+    for po in range(p_out):
+        for t in range(9):
+            for k in range(4):
+                wv = float(wgt[po, t, k])
+                if wv != 0.0:
+                    entries[int(idx[po, t, k])].append((t * p_out + po, wv))
+    fanin = max(1, max(len(e) for e in entries))
+    src = np.zeros((h * w, fanin), np.int32)
+    wv = np.zeros((h * w, fanin), np.float32)
+    for p, e in enumerate(entries):
+        for m, (s, v) in enumerate(e):
+            src[p, m] = s
+            wv[p, m] = v
+    return src, wv, fanin
+
+
+def _dx_gather_flat(g: jax.Array, kernel: jax.Array, x_shape, stride: int = 1):
+    """Scatter-free XLA dx for the small shapes below the Pallas pixel gate."""
+    b, ho, wo, cout = g.shape
+    h, w, cin = x_shape[1], x_shape[2], x_shape[3]
+    src, wv, fanin = _inverse_flat_tables(h, w, stride)
+    dt = compute_dtype_of(g)
+    # U[t] = g @ K_tᵀ, flattened tap-major: (B, 9*P_out, cin)
+    kf = kernel.reshape(9, cin, cout).astype(dt)
+    gf = g.reshape(b, ho * wo, cout).astype(dt)
+    u = jnp.einsum("bpd,tcd->btpc", gf, kf).reshape(b, 9 * ho * wo, cin)
+    picked = jnp.take(u, jnp.asarray(src.reshape(-1)), axis=1)
+    picked = picked.reshape(b, h * w, fanin, cin)
+    dx = jnp.einsum("bpmc,pm->bpc", picked, jnp.asarray(wv).astype(dt))
+    return dx.reshape(b, h, w, cin).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def inverse_tables(h: int, w: int, stride: int = 1):
     """Group forward triples by their source row.
 
@@ -601,18 +650,34 @@ def _dk_gather(x: jax.Array, g: jax.Array, cout: int, stride: int = 1) -> jax.Ar
 
 
 def _fwd_impl(x, kernel, bias, stride):
-    return sphere_conv_pallas(x, kernel, bias, stride)
+    # the FORWARD dispatches per stride and size: the stride-2 fused forward
+    # measured 0.4-0.9x vs gather (cin=3/64 fronts pad to the 128-lane tile)
+    # so it stays gather unless pallas_sphere_convs(strides=(1, 2)) opts in,
+    # and low-resolution layers keep the gather forward (kernel loop overhead
+    # loses below the pixel gate) — but the BACKWARD below is always
+    # scatter-free (see _bwd)
+    from . import sphere_conv as _sc
+
+    if (stride in _sc._PALLAS_STRIDES
+            and x.shape[1] * x.shape[2] >= _sc._PALLAS_MIN_PIXELS):
+        return sphere_conv_pallas(x, kernel, bias, stride)
+    return _sc.sphere_conv_gather(x, kernel, bias, stride)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def sphere_conv_trainable(x, kernel, bias, stride: int = 1):
     """Sphere conv with per-shape-dispatched forward and backward kernels.
 
-    Wrapping even the gather-formulation forward in this custom VJP matters:
-    the dx Pallas call is a pure custom-call XLA can dead-code-eliminate when
-    the input cotangent is unused (the SPADE guide branch — its input is the
-    constant rasterized guide), whereas autodiff of the scanned gather would
-    bury the dx work inside the backward scan where it can't be pruned.
+    Wrapping even the gather-formulation forward in this custom VJP matters
+    twice over: (a) the dx Pallas call is a pure custom-call XLA can
+    dead-code-eliminate when the input cotangent is unused (the SPADE guide
+    branch — its input is the constant rasterized guide), whereas autodiff of
+    the scanned gather would bury the dx work inside the backward scan where
+    it can't be pruned; (b) autodiff of the gather formulation transposes the
+    gathers into SCATTER-ADDs, which lower to `while` loops on TPU — the
+    round-5 G-step trace put 62.7 ms of the 285 ms step on those whiles
+    (stride-2 discriminator fronts inside the G backward). The U-major
+    Pallas dx replaces them at every stride.
     """
     return _fwd_impl(x, kernel, bias, stride)
 
@@ -624,10 +689,18 @@ def _fwd(x, kernel, bias, stride):
 def _bwd(stride, res, g):
     assert stride in (1, 2), "trainable pallas path covers stride 1 and 2"
     x, kernel, has_bias = res
-    dx = _dx_pallas(g, kernel, x.shape, stride)
+    from . import sphere_conv as _sc
+
+    big = x.shape[1] * x.shape[2] >= _sc._PALLAS_MIN_PIXELS
+    # dx is NEVER a scatter: Pallas U-major above the pixel gate, the flat
+    # inverse-gather formulation below it
+    if big:
+        dx = _dx_pallas(g, kernel, x.shape, stride)
+    else:
+        dx = _dx_gather_flat(g, kernel, x.shape, stride)
     # stride 2 measures 0.4-0.9x in the fused dk (the halo window doubles and
     # the cin=3 discriminator front pads to 128 lanes): always gather there.
-    use_pallas_dk = stride == 1
+    use_pallas_dk = stride == 1 and big
     dk = _dk_pallas(x, g, stride) if use_pallas_dk else _dk_gather(x, g, g.shape[-1], stride)
     db = g.sum(axis=(0, 1, 2)) if has_bias else None
     return dx, dk, db

@@ -17,14 +17,16 @@ from emlight_tpu.config import AnchorConfig, ProjectorConfig
 from emlight_tpu.train import projector as P
 from emlight_tpu.train.data import synthetic_projector_batch
 
+# EXACTLY the config cli tests train with (test_cli.py: ngf/ndf 8, crop 64,
+# anchors 96, batch 2): pytest runs one process, so identical static configs
+# share every jitted step compile across files — the suite is compile-bound
 TINY = dataclasses.replace(
     ProjectorConfig(),
     crop_size=64,  # -> env maps 32x64, latent (1, 2)
     ngf=8,
     ndf=8,
     batch_size=2,
-    anchors=AnchorConfig(n_anchors=16, env_h=32, env_w=64),
-    use_vgg_loss=False,
+    anchors=AnchorConfig(n_anchors=96, env_h=32, env_w=64),
 )
 
 
@@ -35,7 +37,7 @@ def state0():
 
 def _batch(seed=0):
     b = synthetic_projector_batch(
-        TINY.batch_size, n_anchors=16, crop_size=TINY.crop_size // 2,
+        TINY.batch_size, n_anchors=96, crop_size=TINY.crop_size // 2,
         env_hw=(32, 64), seed=seed,
     )
     return {k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, list)}
@@ -83,7 +85,7 @@ def test_make_guide_matches_manual_composition():
 
     manual = render_anchor_params(
         batch["distribution"], batch["intensity"], batch["rgb_ratio"],
-        batch["ambient"], n=16, h=32, w=64,
+        batch["ambient"], n=96, h=32, w=64,
     ) * batch["alpha"][:, None, None, None]
     np.testing.assert_allclose(np.asarray(guide), np.asarray(manual), rtol=1e-6)
 

@@ -7,20 +7,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from emlight_tpu.config import RegressionConfig, SinkhornConfig
+from emlight_tpu.config import RegressionConfig
 from emlight_tpu.nn.densenet import DenseNet
 from emlight_tpu.train import checkpoint as ckpt
 from emlight_tpu.train import regression as R
 from emlight_tpu.train.data import synthetic_regression_batch
 
-# small crops keep CPU runtime sane; Dense layers infer the flattened dim
+# small crops keep CPU runtime sane; Dense layers infer the flattened dim.
+# Every knob matches what tests/test_cli.py's train_regression CLI builds
+# (anchors 96, block 2,2, crop 64x64, default sinkhorn): identical static
+# configs share the jitted train_step compile across files — the suite is
+# compile-bound (conftest jit0 note)
 SMALL = dataclasses.replace(
     RegressionConfig(),
     crop_h=64,
     crop_w=64,
     batch_size=2,
     block_config=(2, 2),
-    sinkhorn=SinkhornConfig(n_iters=6),
 )
 
 

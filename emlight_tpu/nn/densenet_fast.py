@@ -516,6 +516,7 @@ def buffer_apply(
     avgpool_size: int = 4,
     dtype=jnp.bfloat16,
     eps: float = 1e-5,
+    interior: str = "auto",
 ):
     """Channel-major (NCHW) eval forward with an in-place concat buffer.
 
@@ -528,8 +529,20 @@ def buffer_apply(
     DUS (channel planes are whole tiles, no interleaving). Same variables
     tree, same math modulo float reassociation; heads match DenseNet.apply at
     bf16 resolution (tests/test_densenet_fast.py).
+
+    `interior` picks the per-layer compute layout — the buffer is NCHW either
+    way. "nhwc": one explicit slice+transpose per layer feeds channels-minor
+    matmuls/convs (XLA's native matmul orientation; the NCHW einsum made XLA
+    materialize feature-major (C,B,H,W) intermediates — 49.5 GiB of copies at
+    bs 128). "nchw": the einsum formulation. Measured on a v5e (flagship
+    shapes, bit-identical outputs): NHWC wins 2.1x at bs>=128 (438 -> 211 ms)
+    but XLA's NHWC conv lowering collapses at mid batches (bs16: 61 vs
+    237 ms(!), bs32: 121 vs 284, bs64: 229 vs 357, non-monotonic in batch) —
+    "auto" = NHWC iff batch >= 128.
     """
     dt = jnp.dtype(dtype)
+    if interior == "auto":
+        interior = "nhwc" if x.shape[0] >= 128 else "nchw"
 
     def affine(name):
         a, b = _bn_affine(params[name], batch_stats[name], eps, dt)
@@ -546,12 +559,6 @@ def buffer_apply(
     a, b = affine("norm0")
     x = nn.relu(x * a + b)
 
-    # The buffer stays channel-major (aligned in-place 12-plane DUS writes)
-    # but each layer's interior runs NHWC: one explicit slice+transpose per
-    # layer feeds channels-minor matmuls/convs, XLA's native orientation.
-    # The NCHW einsum formulation made XLA materialize feature-major
-    # (C,B,H,W) intermediates plus operand copies — 49.5 GiB of copies at
-    # bs 128, and 438 vs 211 ms measured on a v5e (bit-identical outputs).
     num_features = num_init_features
     for i, num_layers in enumerate(block_config):
         bsz, _, hh, ww = x.shape
@@ -563,25 +570,37 @@ def buffer_apply(
             lp = params[f"denseblock{i + 1}_denselayer{j + 1}"]
             ls = batch_stats[f"denseblock{i + 1}_denselayer{j + 1}"]
             a1, b1 = _bn_affine(lp["norm1"], ls["norm1"], eps, dt)
-            h = jnp.transpose(lax.slice_in_dim(buf, 0, cin, axis=1), (0, 2, 3, 1))
-            h = nn.relu(h * a1 + b1)
-            h = jnp.einsum("bhwc,cd->bhwd", h, lp["conv1"]["kernel"][0, 0].astype(dt))
             a2, b2 = _bn_affine(lp["norm2"], ls["norm2"], eps, dt)
-            # parity quirk kept: no ReLU between norm2 and conv2
-            h = lax.conv_general_dilated(
-                h * a2 + b2, lp["conv2"]["kernel"].astype(dt), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            buf = lax.dynamic_update_slice(
-                buf, jnp.transpose(h, (0, 3, 1, 2)), (0, cin, 0, 0)
-            )
+            if interior == "nhwc":
+                h = jnp.transpose(lax.slice_in_dim(buf, 0, cin, axis=1), (0, 2, 3, 1))
+                h = nn.relu(h * a1 + b1)
+                h = jnp.einsum("bhwc,cd->bhwd", h, lp["conv1"]["kernel"][0, 0].astype(dt))
+                # parity quirk kept: no ReLU between norm2 and conv2
+                h = lax.conv_general_dilated(
+                    h * a2 + b2, lp["conv2"]["kernel"].astype(dt), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                h = jnp.transpose(h, (0, 3, 1, 2))
+            else:
+                h = lax.slice_in_dim(buf, 0, cin, axis=1)
+                h = nn.relu(h * a1[:, None, None] + b1[:, None, None])
+                h = jnp.einsum("bchw,cd->bdhw", h, lp["conv1"]["kernel"][0, 0].astype(dt))
+                # parity quirk kept: no ReLU between norm2 and conv2
+                h = conv3x3_nchw(
+                    h * a2[:, None, None] + b2[:, None, None], lp["conv2"]["kernel"]
+                )
+            buf = lax.dynamic_update_slice(buf, h, (0, cin, 0, 0))
         num_features = total
 
         tp, ts = params[f"transition{i + 1}"], batch_stats[f"transition{i + 1}"]
         at, bt = _bn_affine(tp["norm"], ts["norm"], eps, dt)  # (C,) on lanes
-        xn = nn.relu(jnp.transpose(buf, (0, 2, 3, 1)) * at + bt)
-        xn = jnp.einsum("bhwc,cd->bhwd", xn, tp["conv"]["kernel"][0, 0].astype(dt))
-        x = jnp.transpose(xn, (0, 3, 1, 2))
+        if interior == "nhwc":
+            xn = nn.relu(jnp.transpose(buf, (0, 2, 3, 1)) * at + bt)
+            xn = jnp.einsum("bhwc,cd->bhwd", xn, tp["conv"]["kernel"][0, 0].astype(dt))
+            x = jnp.transpose(xn, (0, 3, 1, 2))
+        else:
+            x = nn.relu(buf * at[:, None, None] + bt[:, None, None])
+            x = jnp.einsum("bchw,cd->bdhw", x, tp["conv"]["kernel"][0, 0].astype(dt))
         x = _avg_pool_nchw(x, 2)
         num_features = int(math.floor(num_features * compression))
         al, bl = affine(f"last_norm{i + 1}")

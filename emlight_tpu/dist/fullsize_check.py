@@ -98,23 +98,35 @@ def run(n_devices: int = 8, tp: int = 2, timeout: int = 1800, **kw) -> dict:
              if "host_platform_device_count" not in f]
     env["XLA_FLAGS"] = " ".join(flags + [
         f"--xla_force_host_platform_device_count={n_devices}",
-        "--xla_cpu_collective_call_terminate_timeout_seconds=600",
-        "--xla_cpu_collective_timeout_seconds=600",
+        # the timeouts must exceed the WHOLE step (755 s measured on the
+        # 1-vCPU host): the 8 virtual device threads time-share one core, so
+        # a thread can legitimately take most of the step's wall time to
+        # reach a collective the others are already parked at — 600 s aborted
+        # the run mid-step twice in round 5
+        "--xla_cpu_collective_call_terminate_timeout_seconds=1500",
+        "--xla_cpu_collective_timeout_seconds=1500",
     ])
     env["EMLIGHT_FULLSIZE_CHILD"] = "1"
     cmd = [sys.executable, "-m", "emlight_tpu.dist.fullsize_check",
            "--devices", str(n_devices), "--tp", str(tp)]
     for k, v in kw.items():
         cmd += [f"--{k}", str(v)]
-    proc = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, timeout=timeout,
-        cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(
-            f"fullsize_check child failed rc={proc.returncode}:\n{proc.stderr[-3000:]}"
+    # one bounded retry: XLA:CPU's collectives rendezvous intermittently
+    # aborts the child mid-execution on small/contended hosts (the dryrun and
+    # tests/conftest.py carry the same insurance); the retry reruns against
+    # the warm persistent compile cache
+    last = None
+    for _ in range(2):
+        proc = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         )
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+        if proc.returncode == 0:
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        last = proc
+    raise RuntimeError(
+        f"fullsize_check child failed rc={last.returncode}:\n{last.stderr[-3000:]}"
+    )
 
 
 def main(argv=None):
